@@ -1,0 +1,23 @@
+"""yocto_raytracing_tpu — a TPU-native differentiable Whitted raytracer.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of
+sebcossu/yocto_raytracing (a C++ CPU raytracer): OBJ/MTL scene loading with
+Yocto camera/instance/environment extensions, two-level BVH acceleration,
+stratified supersampling, point lights, Blinn-Phong + hair shading, recursive
+mirror reflection, tonemapping and PNG/HDR output — rebuilt as a wavefront
+megabatch renderer over SoA scene pytrees, sharded across TPU device meshes,
+and differentiable w.r.t. camera, geometry and material parameters.
+
+Layer map (mirrors SURVEY.md section 1, reimagined TPU-first):
+  image             pixels, tonemap, PNG/HDR codecs           (ref: src/image.*)
+  io.objparser      OBJ/MTL parser w/ yocto extensions        (ref: src/ext/yocto_obj.*)
+  scene             SoA pytree scene + loader                 (ref: src/scene.*, yocto_scn.*)
+  bvh               flat-array two-level BVH build            (ref: src/scene.cpp:509-657)
+  ops               ray-primitive intersectors + traversal    (ref: src/scene.cpp:229-506)
+  render            camera/texture/shading/wavefront loop     (ref: src/raytrace.cpp)
+  parallel          device-mesh sharding, multi-chip renders  (ref: none -- new capability)
+  diff              detached-traversal gradients              (ref: none -- new capability)
+  utils             CLI, config, logging, checkpointing       (ref: src/ext/yocto_utils.h)
+"""
+
+__version__ = "0.1.0"

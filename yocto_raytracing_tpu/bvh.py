@@ -1,0 +1,237 @@
+"""Flat-array two-level BVH construction.
+
+Re-implements the reference build algorithm (src/scene.cpp:509-657) — top-down
+midpoint split on the largest centroid-extent axis, leaf threshold 4, x>=y>=z
+axis precedence, degenerate-centroid leaves — but emits a single unified node
+pool ready for TPU traversal instead of per-object pointer trees:
+
+* scene-level tree first (root = node 0), leaves hold instance ids;
+* then every shape tree, leaves hold global prim ids;
+* internal nodes always have exactly 2 children, stored contiguously
+  (node_start, node_start+1), matching the reference layout
+  (src/scene.cpp:595-599).
+
+The builder is pure numpy (host-side, like the reference's CPU build); a
+native C++ fast path with identical output lives in native/ and is used
+automatically when built.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class FlatBVH:
+    bbox_min: np.ndarray   # (M, 3) f32
+    bbox_max: np.ndarray   # (M, 3) f32
+    start: np.ndarray      # (M,) i32
+    count: np.ndarray      # (M,) i32
+    isleaf: np.ndarray     # (M,) i32
+    kind: np.ndarray       # (M,) i32: 0 = instance leaf, 1 = prim leaf
+    leaf_items: np.ndarray  # (K,) i32
+    shape_node_root: list  # shape id -> node index of its root
+    max_stack: int
+
+
+@dataclass
+class _Tree:
+    """One tree in reference layout (node 0 = root, children contiguous)."""
+
+    bbox_min: np.ndarray
+    bbox_max: np.ndarray
+    start: np.ndarray   # internal: first child node; leaf: first leaf slot
+    count: np.ndarray
+    isleaf: np.ndarray
+    leaf_prims: np.ndarray  # permutation of local prim ids
+    height: int
+
+
+def _build_tree(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
+    """Build one BVH over prims given per-prim bboxes.
+
+    Parity with make_node/split_prims (src/scene.cpp:572-639), equal_num =
+    false (midpoint partition), the mode main() uses (src/raytrace.cpp:278).
+    The partition here is stable; std::partition is not, but the per-side
+    prim *sets* (hence the tree) are identical, only intra-leaf order may
+    differ, which only permutes equal-t tie winners.
+    """
+    n = len(bbox_min)
+    centers = (bbox_min + bbox_max) * 0.5
+    order = np.arange(n, dtype=np.int32)
+
+    cap = max(2 * n, 16)
+    nb_min = np.empty((cap, 3), np.float32)
+    nb_max = np.empty((cap, 3), np.float32)
+    nstart = np.empty(cap, np.int64)
+    ncount = np.empty(cap, np.int64)
+    nleaf = np.zeros(cap, np.int32)
+    num_nodes = 1  # root preallocated (src/scene.cpp:647)
+    height = 0
+
+    # worklist of (node_id, start, end, depth); LIFO with right child pushed
+    # first reproduces the C++ depth-first left-then-right emission order
+    stack = [(0, 0, n, 0)]
+    while stack:
+        nid, s, e, depth = stack.pop()
+        height = max(height, depth)
+        idx = order[s:e]
+        pb_min = bbox_min[idx]
+        pb_max = bbox_max[idx]
+        nb_min[nid] = pb_min.min(axis=0) if len(idx) else np.float32(np.finfo(np.float32).max)
+        nb_max[nid] = pb_max.max(axis=0) if len(idx) else np.float32(-np.finfo(np.float32).max)
+
+        split_ok = False
+        if e - s > 4:
+            c = centers[idx]
+            cmin = c.min(axis=0)
+            cmax = c.max(axis=0)
+            size = cmax - cmin
+            if not (size == 0).all():
+                # axis precedence x >= y >= z (src/scene.cpp:616-621)
+                if size[0] >= size[1] and size[0] >= size[2]:
+                    axis = 0
+                elif size[1] >= size[0] and size[1] >= size[2]:
+                    axis = 1
+                else:
+                    axis = 2
+                half = (cmin[axis] + cmax[axis]) * 0.5
+                mask = c[:, axis] < half
+                mid = s + int(mask.sum())
+                if s < mid < e:
+                    order[s:e] = np.concatenate([idx[mask], idx[~mask]])
+                    split_ok = True
+
+        if not split_ok:
+            nleaf[nid] = 1
+            nstart[nid] = s
+            ncount[nid] = e - s
+        else:
+            first = num_nodes
+            if first + 2 > cap:
+                grow = max(cap // 2, 16)
+                nb_min = np.concatenate([nb_min, np.empty((grow, 3), np.float32)])
+                nb_max = np.concatenate([nb_max, np.empty((grow, 3), np.float32)])
+                nstart = np.concatenate([nstart, np.empty(grow, np.int64)])
+                ncount = np.concatenate([ncount, np.empty(grow, np.int64)])
+                nleaf = np.concatenate([nleaf, np.zeros(grow, np.int32)])
+                cap += grow
+            num_nodes += 2
+            nleaf[nid] = 0
+            nstart[nid] = first
+            ncount[nid] = 2
+            stack.append((first + 1, mid, e, depth + 1))
+            stack.append((first, s, mid, depth + 1))
+
+    return _Tree(
+        bbox_min=nb_min[:num_nodes].copy(),
+        bbox_max=nb_max[:num_nodes].copy(),
+        start=nstart[:num_nodes].astype(np.int32),
+        count=ncount[:num_nodes].astype(np.int32),
+        isleaf=nleaf[:num_nodes].copy(),
+        leaf_prims=order,
+        height=height,
+    )
+
+
+def _shape_prim_bounds(shp) -> tuple:
+    """Per-prim bboxes in BVH prim order: points, lines, triangles.
+
+    Points/lines inflate by vertex radius; triangles don't
+    (src/scene.cpp:521-547).
+    """
+    mins, maxs = [], []
+    if len(shp.points):
+        p = shp.pos[shp.points]
+        r = shp.radius[shp.points][:, None]
+        mins.append(p - r)
+        maxs.append(p + r)
+    if len(shp.lines):
+        p0 = shp.pos[shp.lines[:, 0]]
+        p1 = shp.pos[shp.lines[:, 1]]
+        r0 = shp.radius[shp.lines[:, 0]][:, None]
+        r1 = shp.radius[shp.lines[:, 1]][:, None]
+        mins.append(np.minimum(p0 - r0, p1 - r1))
+        maxs.append(np.maximum(p0 + r0, p1 + r1))
+    if len(shp.triangles):
+        v = shp.pos[shp.triangles]  # (T, 3, 3)
+        mins.append(v.min(axis=1))
+        maxs.append(v.max(axis=1))
+    bbox_min = np.concatenate(mins).astype(np.float32)
+    bbox_max = np.concatenate(maxs).astype(np.float32)
+    return bbox_min, bbox_max
+
+
+def bbox_to_world(axes: np.ndarray, o: np.ndarray,
+                  bmin: np.ndarray, bmax: np.ndarray) -> tuple:
+    """8-corner transform of a bbox (parity: src/vmath.h:312-326)."""
+    corners = np.array([
+        [bmin[0], bmin[1], bmin[2]], [bmin[0], bmin[1], bmax[2]],
+        [bmin[0], bmax[1], bmin[2]], [bmin[0], bmax[1], bmax[2]],
+        [bmax[0], bmin[1], bmin[2]], [bmax[0], bmin[1], bmax[2]],
+        [bmax[0], bmax[1], bmin[2]], [bmax[0], bmax[1], bmax[2]],
+    ], dtype=np.float32)
+    w = corners @ axes + o
+    return w.min(axis=0), w.max(axis=0)
+
+
+def build_scene_bvh(host, shape_prim_offset: list) -> FlatBVH:
+    """Build all shape trees + the scene tree, flattened into one pool."""
+    trees = []
+    for shp in host.shapes:
+        bmin, bmax = _shape_prim_bounds(shp)
+        trees.append(_build_tree(bmin, bmax))
+
+    # scene tree over world-space instance bboxes (src/scene.cpp:554-565)
+    ib_min = np.empty((len(host.instances), 3), np.float32)
+    ib_max = np.empty((len(host.instances), 3), np.float32)
+    for k, ist in enumerate(host.instances):
+        t = trees[ist.shape]
+        ib_min[k], ib_max[k] = bbox_to_world(
+            ist.axes, ist.o, t.bbox_min[0], t.bbox_max[0])
+    scene_tree = _build_tree(ib_min, ib_max)
+
+    # flatten: scene tree first, then shape trees
+    all_trees = [scene_tree] + trees
+    node_offset = np.cumsum([0] + [len(t.start) for t in all_trees])
+    leaf_offset = np.cumsum([0] + [len(t.leaf_prims) for t in all_trees])
+
+    def flat_tree(t: _Tree, ti: int, item_base: int):
+        start = t.start.copy()
+        internal = t.isleaf == 0
+        start[internal] += node_offset[ti]
+        start[~internal] += leaf_offset[ti]
+        items = t.leaf_prims + item_base
+        return start, items
+
+    starts, items_l = [], []
+    for ti, t in enumerate(all_trees):
+        base = 0 if ti == 0 else shape_prim_offset[ti - 1]
+        s, it = flat_tree(t, ti, base)
+        starts.append(s)
+        items_l.append(it)
+
+    kind = np.concatenate([
+        np.zeros(len(scene_tree.start), np.int32),
+        np.ones(node_offset[-1] - len(scene_tree.start), np.int32),
+    ])
+
+    max_shape_h = max((t.height for t in trees), default=0)
+    # LIFO bound: scene path (height+1) + up-to-4 instance roots pushed at a
+    # scene leaf + shape path (height+1), with slack
+    max_stack = scene_tree.height + 1 + 4 + max_shape_h + 1 + 2
+    max_stack = ((max_stack + 7) // 8) * 8
+
+    return FlatBVH(
+        bbox_min=np.concatenate([t.bbox_min for t in all_trees]),
+        bbox_max=np.concatenate([t.bbox_max for t in all_trees]),
+        start=np.concatenate(starts).astype(np.int32),
+        count=np.concatenate([t.count for t in all_trees]).astype(np.int32),
+        isleaf=np.concatenate([t.isleaf for t in all_trees]).astype(np.int32),
+        kind=kind,
+        leaf_items=np.concatenate(items_l).astype(np.int32),
+        shape_node_root=[int(node_offset[i + 1]) for i in range(len(trees))],
+        max_stack=int(max_stack),
+    )

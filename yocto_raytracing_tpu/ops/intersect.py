@@ -1,0 +1,122 @@
+"""Ray-primitive intersection tests, batched and differentiable.
+
+Parity notes (all against src/scene.cpp):
+
+* triangle: Möller-Trumbore with barycentrics ``ew = (1-w1-w2, w1, w2, 0)``
+  and *inclusive* bounds (w in [0,1], t in [tmin, tmax]) — scene.cpp:229-263.
+* point: sphere treated as disk at closest approach — scene.cpp:267-281.
+* line: capsule via ray/segment closest points, radius lerped by s,
+  ``ew = (1-s, s, 0, 0)`` — scene.cpp:285-307.
+
+All functions take SoA ray batches of shape (..., 3) and return (hit, t, ew)
+with non-hits carrying t = +inf. They are plain jnp, so jax.grad flows
+through t/ew for the differentiable hit-attribute recompute (diff layer).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+FLT_MAX = jnp.float32(3.4028235e38)
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def intersect_triangle(ro, rd, tmin, tmax, v0, v1, v2):
+    """Batched Möller-Trumbore (parity: src/scene.cpp:229-263).
+
+    Returns (hit, t, w1, w2); non-hit t = +inf.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    r = cross(rd, e2)
+    den = dot(r, e1)
+    safe_den = jnp.where(den == 0, jnp.float32(1), den)
+    inv_den = jnp.float32(1) / safe_den
+    c = ro - v0
+    w1 = dot(r, c) * inv_den
+    s = cross(c, e1)
+    w2 = dot(s, rd) * inv_den
+    t = dot(s, e2) * inv_den
+    hit = (
+        (den != 0)
+        & (w1 >= 0) & (w1 <= 1)
+        & (w2 >= 0) & (w1 + w2 <= 1)
+        & (t >= tmin) & (t <= tmax)
+    )
+    return hit, jnp.where(hit, t, FLT_MAX), w1, w2
+
+
+def intersect_point(ro, rd, tmin, tmax, p, r):
+    """Batched point-as-disk (parity: src/scene.cpp:267-281).
+
+    Returns (hit, t); ew is the constant (1,0,0,0).
+    """
+    w = p - ro
+    t = dot(w, rd) / dot(rd, rd)
+    rp = ro + rd * t[..., None]
+    prp = p - rp
+    hit = (t >= tmin) & (t <= tmax) & (dot(prp, prp) <= r * r)
+    return hit, jnp.where(hit, t, FLT_MAX)
+
+
+def intersect_line(ro, rd, tmin, tmax, v0, v1, r0, r1):
+    """Batched capsule segment (parity: src/scene.cpp:285-307).
+
+    Returns (hit, t, s) with s the segment parameter for ew = (1-s, s, 0, 0).
+    """
+    u = rd
+    v = v1 - v0
+    w = ro - v0
+    a = dot(u, u)
+    b = dot(u, v)
+    c = dot(v, v)
+    d = dot(u, w)
+    e = dot(v, w)
+    det = a * c - b * b
+    safe_det = jnp.where(det == 0, jnp.float32(1), det)
+    t = (b * e - c * d) / safe_det
+    s = (a * e - b * d) / safe_det
+    s = jnp.clip(s, 0.0, 1.0)
+    p0 = ro + rd * t[..., None]
+    p1 = v0 + v * s[..., None]
+    p01 = p0 - p1
+    r = r0 * (1 - s) + r1 * s
+    hit = (det != 0) & (t >= tmin) & (t <= tmax) & (dot(p01, p01) <= r * r)
+    return hit, jnp.where(hit, t, FLT_MAX), s
+
+
+def intersect_bbox(ro, rd, tmin, tmax, bmin, bmax):
+    """Batched slab test with the reference's robustness factor.
+
+    Parity: intersect_check_bbox (src/scene.cpp:371-382): swap by inv-dir
+    sign, ``tmax *= 1.00000024`` slack after the min-reduce.
+    """
+    invd = jnp.float32(1) / rd
+    t0 = (bmin - ro) * invd
+    t1 = (bmax - ro) * invd
+    tl = jnp.where(invd < 0, t1, t0)
+    th = jnp.where(invd < 0, t0, t1)
+    lo = jnp.maximum(jnp.max(tl, axis=-1), tmin)
+    hi = jnp.minimum(jnp.min(th, axis=-1), tmax) * jnp.float32(1.00000024)
+    return lo <= hi
+
+
+def transform_ray_inverse(axes, o, ro, rd):
+    """World ray -> instance-local ray (parity: src/vmath.h:275-278).
+
+    ``axes`` rows are the frame's x/y/z axes; inverse transform is
+    ``(p - o) @ axes.T`` for points and normalized ``d @ axes.T`` for
+    directions (transform_direction_inverse normalizes, src/vmath.h:173-175).
+    """
+    lo = jnp.einsum("...j,...ij->...i", ro - o, axes)
+    ld = jnp.einsum("...j,...ij->...i", rd, axes)
+    n = jnp.sqrt(dot(ld, ld))
+    ld = jnp.where(n[..., None] > 0, ld / jnp.maximum(n[..., None], 1e-38), ld)
+    return lo, ld

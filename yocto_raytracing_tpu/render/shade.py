@@ -1,0 +1,192 @@
+"""Hit-attribute evaluation and Blinn-Phong/hair shading.
+
+Parity: shade (src/raytrace.cpp:88-211) re-designed from per-ray recursion to
+a batched, differentiable wavefront step:
+
+* the traversal (ops/traverse.py) returns detached hit topology
+  (instance id, prim id); ``eval_hit`` *recomputes* barycentrics and hit
+  attributes differentiably from the gathered vertices, so gradients flow to
+  vertex positions, instance frames, camera and materials while the discrete
+  structure stays fixed (detached-traversal gradients);
+* point lights exactly replicate the reference's quirky light vector
+  ``transform_point(light_frame, light_pos - p)`` (raytrace.cpp:129-130) —
+  correct for the identity-rotation light frames all scenes use;
+* hair BRDF uses the reference's ``sqrt(1 - |n.l|)`` pseudo-sine
+  (raytrace.cpp:164-174), clamped at 0 to avoid the NaN the C code would
+  produce for |n.l| > 1 rounding;
+* Blinn-Phong exponent ``ns = rs ? 2/rs^4 - 2 : 1e6`` (raytrace.cpp:144);
+* ambient ``amb * kd * kd_txt`` added once per shade (raytrace.cpp:115-119,
+  206) regardless of shadowing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import intersect as isect
+from ..scene import PRIM_LINE, PRIM_POINT, PRIM_TRIANGLE
+from . import texture as texture_mod
+
+RAY_EPS = jnp.float32(1e-4)
+FLT_MAX = jnp.float32(3.4028235e38)
+
+
+def _normalize(v, axis=-1):
+    """normalize with the reference's 0 -> 0 convention (src/vmath.h:118-122)."""
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return jnp.where(n > 0, v / jnp.maximum(n, 1e-38), v)
+
+
+def eval_hit(scene, ro, rd, inst, prim):
+    """Differentiable hit attributes from detached (inst, prim) topology.
+
+    Returns dict with world-space p, n, texcoord uv, barycentrics ew (N, 3),
+    and the per-lane local ray. Lanes with inst/prim < 0 produce garbage the
+    caller must mask.
+    """
+    inst_s = jnp.maximum(inst, 0)
+    prim_s = jnp.maximum(prim, 0)
+    axes = scene.inst_axes[inst_s]
+    io = scene.inst_o[inst_s]
+    lo, ld = isect.transform_ray_inverse(axes, io, ro, rd)
+
+    pv = scene.prim_v[prim_s]
+    ptype = scene.prim_type[prim_s]
+    v0 = scene.pos[pv[:, 0]]
+    v1 = scene.pos[pv[:, 1]]
+    v2 = scene.pos[pv[:, 2]]
+
+    # triangle barycentrics (Möller-Trumbore solve, scene.cpp:229-263)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    r = jnp.cross(ld, e2)
+    den = isect.dot(r, e1)
+    inv_den = 1.0 / jnp.where(den == 0, 1.0, den)
+    cvec = lo - v0
+    w1 = isect.dot(r, cvec) * inv_den
+    svec = jnp.cross(cvec, e1)
+    w2 = isect.dot(svec, ld) * inv_den
+
+    # line parameter s (scene.cpp:285-307)
+    v = v1 - v0
+    w = lo - v0
+    a = isect.dot(ld, ld)
+    b = isect.dot(ld, v)
+    c = isect.dot(v, v)
+    d = isect.dot(ld, w)
+    e = isect.dot(v, w)
+    det = a * c - b * b
+    s_line = jnp.clip((a * e - b * d) / jnp.where(det == 0, 1.0, det), 0.0, 1.0)
+
+    is_tri = ptype == PRIM_TRIANGLE
+    is_line = ptype == PRIM_LINE
+    ew0 = jnp.where(is_tri, 1.0 - w1 - w2, jnp.where(is_line, 1.0 - s_line, 1.0))
+    ew1 = jnp.where(is_tri, w1, jnp.where(is_line, s_line, 0.0))
+    ew2 = jnp.where(is_tri, w2, 0.0)
+    ew = jnp.stack([ew0, ew1, ew2], axis=-1)
+
+    def lerp3(attr):
+        return (attr[pv[:, 0]] * ew0[:, None]
+                + attr[pv[:, 1]] * ew1[:, None]
+                + attr[pv[:, 2]] * ew2[:, None])
+
+    p_local = lerp3(scene.pos)
+    n_local = lerp3(scene.norm)
+    uv = (scene.texcoord[pv[:, 0]] * ew0[:, None]
+          + scene.texcoord[pv[:, 1]] * ew1[:, None]
+          + scene.texcoord[pv[:, 2]] * ew2[:, None])
+
+    # instance-space eval (src/scene.h:210-218): transform point; normal via
+    # transform_direction which normalizes after rotation
+    p_world = jnp.einsum("ni,nij->nj", p_local, axes) + io
+    n_world = _normalize(jnp.einsum("ni,nij->nj", n_local, axes))
+
+    return dict(p=p_world, n=n_world, uv=uv, ew=ew)
+
+
+def shade_step(scene, ro, rd, hits, amb, active, occluder):
+    """One wavefront bounce of the reference shade() body.
+
+    ``occluder(p, d, tmin, tmax, mask)`` -> bool occlusion per lane (the
+    shadow-ray any-hit traversal, injected to avoid a circular import).
+
+    Returns (color, kr, p, refl_dir, hit_mask): ``color`` is this bounce's
+    direct + ambient contribution, ``kr`` the reflection throughput factor,
+    ``p``/``refl_dir`` the next wavefront's ray.
+    """
+    mask = active & hits["hit"]
+    inst = jnp.where(mask, hits["inst"], 0)
+    prim = jnp.where(mask, hits["prim"], 0)
+
+    at = eval_hit(scene, ro, rd, inst, prim)
+    p = at["p"]
+    n = at["n"]
+    uv = at["uv"]
+
+    mat = scene.inst_mat[inst]
+    kd = scene.mat_kd[mat]
+    ks = scene.mat_ks[mat]
+    kr = scene.mat_kr[mat]
+    rs = scene.mat_rs[mat]
+    kd_txt = scene.mat_kd_txt[mat]
+    ks_txt = scene.mat_ks_txt[mat]
+    is_lines = scene.inst_is_lines[inst] == 1
+
+    # textures (always repeat-wrap sRGB for kd/ks, raytrace.cpp:153-157)
+    has_kd_txt = kd_txt >= 0
+    kd_tex = texture_mod.eval_texture(scene, jnp.maximum(kd_txt, 0), uv, True)
+    kd_eff = jnp.where(has_kd_txt[:, None], kd * kd_tex, kd)
+    has_ks_txt = ks_txt >= 0
+    ks_tex = texture_mod.eval_texture(scene, jnp.maximum(ks_txt, 0), uv, True)
+    ks_eff = jnp.where(has_ks_txt[:, None], ks * ks_tex, ks)
+
+    # ambient la = amb * kd (* kd_txt), added unconditionally
+    # (raytrace.cpp:115-119, 206)
+    la = amb[None, :] * kd_eff
+
+    ns = jnp.where(rs != 0, 2.0 / jnp.power(jnp.where(rs != 0, rs, 1.0), 4.0) - 2.0,
+                   jnp.float32(1e6))
+    vvec = _normalize(ro - p)
+
+    color = jnp.zeros_like(p)
+    num_lights = scene.light_ke.shape[0]
+    for li in range(num_lights):
+        # quirk-exact light vector: transform_point(light_frame, lpos - p)
+        # (raytrace.cpp:129-130)
+        diff = scene.light_pos[li] - p
+        lvec = jnp.einsum("ni,ij->nj", diff, scene.light_axes[li]) + scene.light_o[li]
+        rdist = jnp.sqrt(isect.dot(lvec, lvec))
+        ldir = _normalize(lvec)
+
+        # shadow ray (p, l, tmin=0.01, tmax=r-0.01), raytrace.cpp:131-133;
+        # if tmax < tmin the traversal finds nothing and the light is unshadowed,
+        # exactly like the reference's slab-test rejection
+        shadow_tmax = rdist - 0.01
+        occ = occluder(p, ldir, jnp.full_like(rdist, 0.01), shadow_tmax, mask)
+        lit = mask & ~occ
+
+        ke_r2 = scene.light_ke[li][None, :] / jnp.maximum(rdist * rdist, 1e-38)[:, None]
+        ld_term = kd_eff * ke_r2
+        ls_term = ks_eff * ke_r2
+
+        h = _normalize(vvec + ldir)
+        ndl = isect.dot(n, ldir)
+        ndh = isect.dot(n, h)
+        # hair BRDF (raytrace.cpp:162-175) vs Blinn-Phong (177-180)
+        sinnl = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndl)))
+        sinnh = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndh)))
+        diff_w = jnp.where(is_lines, sinnl, jnp.maximum(0.0, ndl))
+        spec_w = jnp.where(is_lines,
+                           jnp.power(sinnh, ns),
+                           jnp.power(jnp.maximum(0.0, ndh), ns))
+        contrib = ld_term * diff_w[:, None] + ls_term * spec_w[:, None]
+        color = color + jnp.where(lit[:, None], contrib, 0.0)
+
+    color = color + la
+    color = jnp.where(mask[:, None], color, 0.0)
+
+    # mirror reflection ray (raytrace.cpp:187-204)
+    refl_dir = n * (2.0 * isect.dot(n, vvec))[:, None] - vvec
+    kr = jnp.where(mask[:, None], kr, 0.0)
+
+    return color, kr, p, refl_dir, mask
