@@ -108,6 +108,27 @@ def intersect_bbox(ro, rd, tmin, tmax, bmin, bmax):
     return lo <= hi
 
 
+def transform_vector(axes, v):
+    """``v @ axes`` via explicit VPU multiply-adds.
+
+    Frame transforms are 3x3; they must NOT lower to MXU matmuls, which run
+    at bf16 input precision by default on TPU and break f32 parity (and are
+    slower for this shape anyway). axes rows are the frame's x/y/z axes:
+    result = v.x*x + v.y*y + v.z*z (src/vmath.h:161-163).
+    """
+    return jnp.sum(v[..., :, None] * axes, axis=-2)
+
+
+def transform_vector_inverse(axes, v):
+    """``v @ axes.T`` = (dot(x,v), dot(y,v), dot(z,v)) (src/vmath.h:165-167)."""
+    return jnp.sum(axes * v[..., None, :], axis=-1)
+
+
+def transform_point(axes, o, p):
+    """transform_point (src/vmath.h:152-154)."""
+    return transform_vector(axes, p) + o
+
+
 def transform_ray_inverse(axes, o, ro, rd):
     """World ray -> instance-local ray (parity: src/vmath.h:275-278).
 
@@ -115,8 +136,8 @@ def transform_ray_inverse(axes, o, ro, rd):
     ``(p - o) @ axes.T`` for points and normalized ``d @ axes.T`` for
     directions (transform_direction_inverse normalizes, src/vmath.h:173-175).
     """
-    lo = jnp.einsum("...j,...ij->...i", ro - o, axes)
-    ld = jnp.einsum("...j,...ij->...i", rd, axes)
+    lo = transform_vector_inverse(axes, ro - o)
+    ld = transform_vector_inverse(axes, rd)
     n = jnp.sqrt(dot(ld, ld))
     ld = jnp.where(n[..., None] > 0, ld / jnp.maximum(n[..., None], 1e-38), ld)
     return lo, ld

@@ -57,33 +57,45 @@ def trace_rays(
     n = ro.shape[0]
 
     def occluder(p, d, tmin, tmax, mask):
+        # stacked (L, N) shadow rays -> one flat any-hit traversal
+        shape = p.shape[:-1]
         res = traverse.intersect_scene(
-            scene, p, d, tmin,
-            jnp.where(mask, tmax, -FLT_MAX),
+            scene, p.reshape(-1, 3), d.reshape(-1, 3), tmin.reshape(-1),
+            jnp.where(mask, tmax, -FLT_MAX).reshape(-1),
             any_hit=True, max_stack=max_stack)
-        return res["hit"]
+        return res["hit"].reshape(shape)
 
-    acc = jnp.zeros((n, 3), jnp.float32)
-    thr = jnp.ones((n, 3), jnp.float32)
-    active = jnp.ones((n,), bool)
     tmin = jnp.full((n,), RAY_EPS)
 
-    for _depth in range(max_depth):
+    # depth loop as a while_loop: one compiled body regardless of max_depth,
+    # early exit when every path has died (kr = 0 everywhere after bounce 1
+    # for most scenes) — the iterative form of shade()'s recursion
+    # (raytrace.cpp:187-204) capped at max_depth
+    def cond(st):
+        return (st["depth"] < max_depth) & jnp.any(st["active"])
+
+    def body(st):
         hits = traverse.intersect_scene(
-            scene, ro, rd, tmin,
-            jnp.where(active, FLT_MAX, -FLT_MAX),
+            scene, st["ro"], st["rd"], tmin,
+            jnp.where(st["active"], FLT_MAX, -FLT_MAX),
             any_hit=False, max_stack=max_stack)
         color, kr, p, refl_dir, mask = shade_mod.shade_step(
-            scene, ro, rd, hits, ambient, active, occluder)
-        acc = acc + thr * color
+            scene, st["ro"], st["rd"], hits, ambient, st["active"], occluder)
+        acc = st["acc"] + st["thr"] * color
         cont = mask & jnp.any(kr > 0, axis=-1)
-        thr = jnp.where(cont[:, None], thr * kr, thr)
-        active = cont
-        ro = p
-        rd = refl_dir
-        tmin = jnp.full((n,), RAY_EPS)
+        thr = jnp.where(cont[:, None], st["thr"] * kr, st["thr"])
+        return dict(ro=p, rd=refl_dir, acc=acc, thr=thr, active=cont,
+                    depth=st["depth"] + 1)
 
-    return acc
+    state = dict(
+        ro=ro, rd=rd,
+        acc=jnp.zeros((n, 3), jnp.float32),
+        thr=jnp.ones((n, 3), jnp.float32),
+        active=jnp.ones((n,), bool),
+        depth=jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return out["acc"]
 
 
 def render_image(

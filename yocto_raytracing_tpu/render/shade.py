@@ -8,6 +8,9 @@ a batched, differentiable wavefront step:
   attributes differentiably from the gathered vertices, so gradients flow to
   vertex positions, instance frames, camera and materials while the discrete
   structure stays fixed (detached-traversal gradients);
+* all lights' shadow rays are stacked into one (L*N) any-hit traversal —
+  one compiled kernel and a larger, better-utilized batch than the
+  reference's per-light recursion (raytrace.cpp:121-133);
 * point lights exactly replicate the reference's quirky light vector
   ``transform_point(light_frame, light_pos - p)`` (raytrace.cpp:129-130) —
   correct for the identity-rotation light frames all scenes use;
@@ -17,6 +20,10 @@ a batched, differentiable wavefront step:
 * Blinn-Phong exponent ``ns = rs ? 2/rs^4 - 2 : 1e6`` (raytrace.cpp:144);
 * ambient ``amb * kd * kd_txt`` added once per shade (raytrace.cpp:115-119,
   206) regardless of shadowing.
+
+Precision rule: frame transforms use explicit VPU multiply-adds
+(ops/intersect.py), never einsum/matmul — MXU matmuls run at bf16 input
+precision by default and break f32 parity.
 """
 
 from __future__ import annotations
@@ -98,8 +105,8 @@ def eval_hit(scene, ro, rd, inst, prim):
 
     # instance-space eval (src/scene.h:210-218): transform point; normal via
     # transform_direction which normalizes after rotation
-    p_world = jnp.einsum("ni,nij->nj", p_local, axes) + io
-    n_world = _normalize(jnp.einsum("ni,nij->nj", n_local, axes))
+    p_world = isect.transform_point(axes, io, p_local)
+    n_world = _normalize(isect.transform_vector(axes, n_local))
 
     return dict(p=p_world, n=n_world, uv=uv, ew=ew)
 
@@ -107,8 +114,9 @@ def eval_hit(scene, ro, rd, inst, prim):
 def shade_step(scene, ro, rd, hits, amb, active, occluder):
     """One wavefront bounce of the reference shade() body.
 
-    ``occluder(p, d, tmin, tmax, mask)`` -> bool occlusion per lane (the
-    shadow-ray any-hit traversal, injected to avoid a circular import).
+    ``occluder(p, d, tmin, tmax, mask)`` with (L, N, ...) stacked shadow rays
+    -> (L, N) bool occlusion (the any-hit traversal, injected to avoid a
+    circular import).
 
     Returns (color, kr, p, refl_dir, hit_mask): ``color`` is this bounce's
     direct + ambient contribution, ``kr`` the reflection throughput factor,
@@ -144,43 +152,49 @@ def shade_step(scene, ro, rd, hits, amb, active, occluder):
     # (raytrace.cpp:115-119, 206)
     la = amb[None, :] * kd_eff
 
-    ns = jnp.where(rs != 0, 2.0 / jnp.power(jnp.where(rs != 0, rs, 1.0), 4.0) - 2.0,
+    ns = jnp.where(rs != 0,
+                   2.0 / jnp.power(jnp.where(rs != 0, rs, 1.0), 4.0) - 2.0,
                    jnp.float32(1e6))
     vvec = _normalize(ro - p)
 
-    color = jnp.zeros_like(p)
     num_lights = scene.light_ke.shape[0]
-    for li in range(num_lights):
+    color = jnp.zeros_like(p)
+    if num_lights:
+        # build all shadow rays, one stacked traversal
         # quirk-exact light vector: transform_point(light_frame, lpos - p)
         # (raytrace.cpp:129-130)
-        diff = scene.light_pos[li] - p
-        lvec = jnp.einsum("ni,ij->nj", diff, scene.light_axes[li]) + scene.light_o[li]
-        rdist = jnp.sqrt(isect.dot(lvec, lvec))
+        diff = scene.light_pos[:, None, :] - p[None, :, :]        # (L, N, 3)
+        lvec = isect.transform_point(
+            scene.light_axes[:, None, :, :],
+            scene.light_o[:, None, :], diff)
+        rdist = jnp.sqrt(isect.dot(lvec, lvec))                   # (L, N)
         ldir = _normalize(lvec)
 
         # shadow ray (p, l, tmin=0.01, tmax=r-0.01), raytrace.cpp:131-133;
-        # if tmax < tmin the traversal finds nothing and the light is unshadowed,
-        # exactly like the reference's slab-test rejection
-        shadow_tmax = rdist - 0.01
-        occ = occluder(p, ldir, jnp.full_like(rdist, 0.01), shadow_tmax, mask)
-        lit = mask & ~occ
+        # when tmax < tmin the traversal finds nothing and the light is
+        # unshadowed, like the reference's slab-test rejection
+        occ = occluder(
+            jnp.broadcast_to(p[None], ldir.shape), ldir,
+            jnp.full(rdist.shape, 0.01, jnp.float32), rdist - 0.01,
+            jnp.broadcast_to(mask[None], rdist.shape))
+        lit = mask[None, :] & ~occ                                # (L, N)
 
-        ke_r2 = scene.light_ke[li][None, :] / jnp.maximum(rdist * rdist, 1e-38)[:, None]
-        ld_term = kd_eff * ke_r2
-        ls_term = ks_eff * ke_r2
-
-        h = _normalize(vvec + ldir)
-        ndl = isect.dot(n, ldir)
-        ndh = isect.dot(n, h)
+        ke_r2 = (scene.light_ke[:, None, :]
+                 / jnp.maximum(rdist * rdist, 1e-38)[..., None])  # (L, N, 3)
+        h = _normalize(vvec[None] + ldir)
+        ndl = isect.dot(n[None], ldir)
+        ndh = isect.dot(n[None], h)
         # hair BRDF (raytrace.cpp:162-175) vs Blinn-Phong (177-180)
         sinnl = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndl)))
         sinnh = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndh)))
-        diff_w = jnp.where(is_lines, sinnl, jnp.maximum(0.0, ndl))
-        spec_w = jnp.where(is_lines,
-                           jnp.power(sinnh, ns),
-                           jnp.power(jnp.maximum(0.0, ndh), ns))
-        contrib = ld_term * diff_w[:, None] + ls_term * spec_w[:, None]
-        color = color + jnp.where(lit[:, None], contrib, 0.0)
+        diff_w = jnp.where(is_lines[None], sinnl, jnp.maximum(0.0, ndl))
+        spec_w = jnp.where(is_lines[None],
+                           jnp.power(sinnh, ns[None]),
+                           jnp.power(jnp.maximum(0.0, ndh), ns[None]))
+        contrib = (kd_eff[None] * ke_r2 * diff_w[..., None]
+                   + ks_eff[None] * ke_r2 * spec_w[..., None])
+        # per-pixel accumulation in light order (raytrace.cpp:121-185)
+        color = jnp.sum(jnp.where(lit[..., None], contrib, 0.0), axis=0)
 
     color = color + la
     color = jnp.where(mask[:, None], color, 0.0)
