@@ -1,0 +1,89 @@
+"""SPMD correctness on the 8-device virtual CPU mesh.
+
+Deterministic-output discipline (the functional analogue of race detection,
+SURVEY.md §5): the same render must be bit-identical on 1 device and on an
+8-way ray-sharded mesh, and the training step must run with sharded inputs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yocto_raytracing_tpu import parallel, scene as scene_lib, testscenes
+from yocto_raytracing_tpu.render import renderer as renderer_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    host = testscenes.make_grad_scene()
+    dev, meta = scene_lib.build_device_scene(host)
+    return scene_lib.to_jax(dev), meta
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_bit_identical(setup):
+    scene, meta = setup
+    w = h = 16
+    single = renderer_mod.render_image(scene, meta, w, h, 2, max_depth=3)
+    mesh = parallel.make_ray_mesh()
+    sharded = parallel.render_image_sharded(
+        scene, meta, mesh, w, h, 2, max_depth=3)
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_render_uses_all_devices(setup):
+    scene, meta = setup
+    mesh = parallel.make_ray_mesh()
+    ids = parallel.shard_rays(np.arange(64, dtype=np.int32), mesh)
+    assert len(ids.sharding.device_set) == 8
+
+
+def test_train_step_sharded(setup):
+    scene, meta = setup
+    mesh = parallel.make_ray_mesh()
+    w = h = 8
+    ids = parallel.shard_rays(np.arange(w * h, dtype=np.int32), mesh)
+    scene_r = parallel.replicate_scene(scene, mesh)
+    amb = jnp.asarray([0.1, 0.1, 0.1], jnp.float32)
+
+    target = renderer_mod.trace_rays(
+        scene_r, ids, amb, width=w, height=h, samples=1, max_depth=3,
+        max_stack=meta.max_stack)
+    # perturb materials, train toward the original render
+    import dataclasses
+    start = dataclasses.replace(
+        scene_r, mat_kd=scene_r.mat_kd * 0.5, mat_ks=scene_r.mat_ks * 2.0)
+    start = parallel.replicate_scene(start, mesh)
+
+    losses = []
+    sc = start
+    for _ in range(8):
+        sc, loss = parallel.train_step(
+            sc, ids, target, amb, jnp.float32(0.3), width=w, height=h,
+            samples=1, max_depth=3, max_stack=meta.max_stack,
+            trainable=("mat_kd", "mat_ks"))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert np.isfinite(losses).all()
+
+
+def test_loss_matches_unsharded(setup):
+    scene, meta = setup
+    mesh = parallel.make_ray_mesh()
+    w = h = 8
+    ids_np = np.arange(w * h, dtype=np.int32)
+    amb = jnp.asarray([0.1, 0.1, 0.1], jnp.float32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+
+    kwargs = dict(width=w, height=h, samples=1, max_depth=3,
+                  max_stack=meta.max_stack)
+    l1 = float(parallel.render_loss(scene, jnp.asarray(ids_np), target, amb,
+                                    **kwargs))
+    ids_sh = parallel.shard_rays(ids_np, mesh)
+    scene_r = parallel.replicate_scene(scene, mesh)
+    l8 = float(parallel.render_loss(scene_r, ids_sh, target, amb, **kwargs))
+    np.testing.assert_allclose(l1, l8, rtol=1e-6)

@@ -31,6 +31,7 @@ class FlatBVH:
     count: np.ndarray      # (M,) i32
     isleaf: np.ndarray     # (M,) i32
     kind: np.ndarray       # (M,) i32: 0 = instance leaf, 1 = prim leaf
+    skip: np.ndarray       # (M,) i32 threaded skip pointer (-1 = tree done)
     leaf_items: np.ndarray  # (K,) i32
     shape_node_root: list  # shape id -> node index of its root
     max_stack: int
@@ -49,14 +50,33 @@ class _Tree:
     height: int
 
 
+def _std_partition(idx: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Reorder ``idx`` exactly like libstdc++'s std::partition.
+
+    The reference's split_prims calls std::partition (src/scene.cpp:628),
+    which for bidirectional iterators converges two pointers and swaps the
+    i-th left-side failing element with the i-th right-side passing element
+    (scanning from the end). Exact-equal hit distances are common (abutting
+    coplanar prims), making the intra-leaf order — hence the equal-t tie
+    winner — pixel-visible, so a stable partition is NOT equivalent.
+    """
+    out = idx.copy()
+    f_pos = np.nonzero(~mask)[0]          # failing, ascending
+    t_pos = np.nonzero(mask)[0][::-1]     # passing, descending
+    m = min(len(f_pos), len(t_pos))
+    f_pos, t_pos = f_pos[:m], t_pos[:m]
+    pairs = f_pos < t_pos
+    f_pos, t_pos = f_pos[pairs], t_pos[pairs]
+    out[f_pos], out[t_pos] = out[t_pos], out[f_pos]
+    return out
+
+
 def _build_tree(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
     """Build one BVH over prims given per-prim bboxes.
 
     Parity with make_node/split_prims (src/scene.cpp:572-639), equal_num =
-    false (midpoint partition), the mode main() uses (src/raytrace.cpp:278).
-    The partition here is stable; std::partition is not, but the per-side
-    prim *sets* (hence the tree) are identical, only intra-leaf order may
-    differ, which only permutes equal-t tie winners.
+    false (midpoint partition), the mode main() uses (src/raytrace.cpp:278),
+    including std::partition's exact element order (_std_partition).
     """
     n = len(bbox_min)
     centers = (bbox_min + bbox_max) * 0.5
@@ -101,7 +121,7 @@ def _build_tree(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
                 mask = c[:, axis] < half
                 mid = s + int(mask.sum())
                 if s < mid < e:
-                    order[s:e] = np.concatenate([idx[mask], idx[~mask]])
+                    order[s:e] = _std_partition(idx, mask)
                     split_ok = True
 
         if not split_ok:
@@ -164,6 +184,38 @@ def _shape_prim_bounds(shp) -> tuple:
     return bbox_min, bbox_max
 
 
+def _thread_tree(start: np.ndarray, isleaf: np.ndarray) -> np.ndarray:
+    """Skip pointers for stackless traversal in the reference's DFS order.
+
+    The reference's stack machine pushes children (start, start+1) and pops
+    LIFO (src/scene.cpp:461-463): the SECOND child is visited first. The
+    threaded equivalent: on bbox hit at an internal node go to start+1; on
+    miss (or subtree exhaustion) go to skip[n]:
+
+        skip[start+1] = start          (sibling next)
+        skip[start]   = skip[parent]   (resume above)
+
+    skip[root] = -1 terminates the tree. Visit order — hence equal-t tie
+    winners — is identical to the stack machine.
+    """
+    n = len(start)
+    skip = np.full(n, -1, np.int32)
+    # iterative preorder; children ids are always > parent id so a simple
+    # worklist suffices
+    work = [0]
+    while work:
+        nid = work.pop()
+        if isleaf[nid]:
+            continue
+        c0 = int(start[nid])
+        c1 = c0 + 1
+        skip[c1] = c0
+        skip[c0] = skip[nid]
+        work.append(c0)
+        work.append(c1)
+    return skip
+
+
 def bbox_to_world(axes: np.ndarray, o: np.ndarray,
                   bmin: np.ndarray, bmax: np.ndarray) -> tuple:
     """8-corner transform of a bbox (parity: src/vmath.h:312-326)."""
@@ -206,12 +258,15 @@ def build_scene_bvh(host, shape_prim_offset: list) -> FlatBVH:
         items = t.leaf_prims + item_base
         return start, items
 
-    starts, items_l = [], []
+    starts, items_l, skips = [], [], []
     for ti, t in enumerate(all_trees):
         base = 0 if ti == 0 else shape_prim_offset[ti - 1]
         s, it = flat_tree(t, ti, base)
         starts.append(s)
         items_l.append(it)
+        sk = _thread_tree(t.start, t.isleaf)
+        sk = np.where(sk >= 0, sk + node_offset[ti], -1).astype(np.int32)
+        skips.append(sk)
 
     kind = np.concatenate([
         np.zeros(len(scene_tree.start), np.int32),
@@ -231,6 +286,7 @@ def build_scene_bvh(host, shape_prim_offset: list) -> FlatBVH:
         count=np.concatenate([t.count for t in all_trees]).astype(np.int32),
         isleaf=np.concatenate([t.isleaf for t in all_trees]).astype(np.int32),
         kind=kind,
+        skip=np.concatenate(skips).astype(np.int32),
         leaf_items=np.concatenate(items_l).astype(np.int32),
         shape_node_root=[int(node_offset[i + 1]) for i in range(len(trees))],
         max_stack=int(max_stack),

@@ -1,0 +1,90 @@
+"""Command-line renderer: ``python -m yocto_raytracing_tpu.cli``.
+
+Mirrors the reference executable's interface (src/raytrace.cpp:256-287):
+``raytrace [options] scenein`` with --resolution/-r (720), --samples/-s (1,
+the stratified grid side, spp = s^2), --ambient/-a (0.1 grey),
+--output/-o (out.png; .hdr writes float Radiance), plus the TPU-native
+knobs: --camera, --max-depth, --chunk-pixels, --sharded (ray-parallel over
+all local devices), --checkpoint (accumulator snapshot for resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="yocto_raytracing_tpu",
+        description="TPU-native wavefront raytracer")
+    p.add_argument("scenein", help="input scene (.obj)")
+    p.add_argument("--resolution", "-r", type=int, default=720,
+                   help="vertical resolution (width = aspect * r)")
+    p.add_argument("--samples", "-s", type=int, default=1,
+                   help="stratified grid side; spp = s^2")
+    p.add_argument("--ambient", "-a", type=float, default=0.1,
+                   help="grey ambient level")
+    p.add_argument("--output", "-o", default="out.png",
+                   help="output image (.png tonemapped / .hdr float)")
+    p.add_argument("--camera", type=int, default=0, help="camera index")
+    p.add_argument("--max-depth", type=int, default=8,
+                   help="mirror recursion cap")
+    p.add_argument("--chunk-pixels", type=int, default=1 << 15,
+                   help="pixels per compiled device chunk")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard rays over all local devices")
+    p.add_argument("--checkpoint", default="",
+                   help="accumulator checkpoint path (resume if it exists)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from . import image as image_mod
+    from . import scene as scene_lib
+    from .render import renderer
+    from .utils import get_logger, log_phase
+
+    log = get_logger()
+
+    with log_phase(f"loading scene {args.scenein}"):
+        host = scene_lib.load_scene(args.scenein)
+
+    with log_phase("building bvh + device scene"):
+        dscene, meta = scene_lib.build_device_scene(host, camera=args.camera)
+        dscene = scene_lib.to_jax(dscene)
+
+    cam = host.cameras[args.camera]
+    width = renderer.image_width(cam.aspect, args.resolution)
+    height = args.resolution
+    spp = args.samples * args.samples
+    log.info("scene: %d instances, %d prims, %d bvh nodes, %d lights",
+             meta.num_instances, meta.num_prims, meta.num_nodes,
+             meta.num_lights)
+
+    with log_phase(f"rendering {width}x{height} @ {spp} spp",
+                   rays=width * height * spp):
+        if args.sharded:
+            from . import parallel
+
+            mesh = parallel.make_ray_mesh()
+            img = parallel.render_image_sharded(
+                dscene, meta, mesh, width, height, args.samples,
+                ambient=args.ambient, max_depth=args.max_depth,
+                chunk_pixels=args.chunk_pixels)
+        else:
+            img = renderer.render_image(
+                dscene, meta, width, height, args.samples,
+                ambient=args.ambient, max_depth=args.max_depth,
+                chunk_pixels=args.chunk_pixels,
+                checkpoint=args.checkpoint or None)
+
+    with log_phase(f"saving image {args.output}"):
+        image_mod.save_hdr_or_ldr(args.output, img)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

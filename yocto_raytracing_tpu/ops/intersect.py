@@ -28,6 +28,38 @@ def cross(a, b):
     return jnp.cross(a, b)
 
 
+def safe_sqrt(x):
+    """sqrt with a finite gradient at 0 (forward identical: sqrt(0) = 0).
+
+    Plain sqrt has derivative inf at 0; on masked/garbage wavefront lanes
+    that inf turns into 0 * inf = NaN during reverse-mode accumulation and
+    poisons whole gradient leaves.
+    """
+    gt = x > 0
+    return jnp.where(gt, jnp.sqrt(jnp.where(gt, x, 1.0)), 0.0)
+
+
+def safe_normalize(v, axis=-1):
+    """normalize with the reference's 0 -> 0 convention (src/vmath.h:118-122)
+    and a well-defined (zero) gradient at v = 0."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    gt = n2 > 0
+    inv = 1.0 / jnp.sqrt(jnp.where(gt, n2, 1.0))
+    return jnp.where(gt, v * inv, v)
+
+
+def safe_pow(base, exp):
+    """base**exp for base >= 0 without the log(0) NaN in the exp-cotangent.
+
+    jnp.power's backward contains ``log(base) * base**exp * d(exp)``; at
+    base = 0 (every lane where the Blinn-Phong half-vector is below the
+    horizon) that is -inf * 0 = NaN flowing into the roughness gradient.
+    Forward is identical: 0**exp = 0 for exp > 0.
+    """
+    gt = base > 0
+    return jnp.where(gt, jnp.power(jnp.where(gt, base, 1.0), exp), 0.0)
+
+
 def intersect_triangle(ro, rd, tmin, tmax, v0, v1, v2):
     """Batched Möller-Trumbore (parity: src/scene.cpp:229-263).
 
@@ -95,14 +127,22 @@ def intersect_line(ro, rd, tmin, tmax, v0, v1, r0, r1):
 def intersect_bbox(ro, rd, tmin, tmax, bmin, bmax):
     """Batched slab test with the reference's robustness factor.
 
-    Parity: intersect_check_bbox (src/scene.cpp:371-382): swap by inv-dir
-    sign, ``tmax *= 1.00000024`` slack after the min-reduce.
+    Parity: intersect_check_bbox (src/scene.cpp:370-382): swap by inv-dir
+    sign, ``tmax *= 1.00000024`` slack after the min-reduce. The reduce uses
+    ``(x > y) ? x : y`` comparisons, NOT IEEE max: an axis-parallel ray whose
+    origin lies exactly on a slab plane yields ``0 * inf = NaN`` and the
+    false comparison drops that axis's constraint. jnp.maximum would
+    propagate the NaN (and a plain ``where(x > y, x, y)`` is rewritten into
+    max by XLA's algebraic simplifier inside larger fused programs), so the
+    drop is expressed with an explicit isnan filter the compiler must keep.
     """
     invd = jnp.float32(1) / rd
     t0 = (bmin - ro) * invd
     t1 = (bmax - ro) * invd
     tl = jnp.where(invd < 0, t1, t0)
     th = jnp.where(invd < 0, t0, t1)
+    tl = jnp.where(jnp.isnan(tl), -jnp.inf, tl)
+    th = jnp.where(jnp.isnan(th), jnp.inf, th)
     lo = jnp.maximum(jnp.max(tl, axis=-1), tmin)
     hi = jnp.minimum(jnp.min(th, axis=-1), tmax) * jnp.float32(1.00000024)
     return lo <= hi
@@ -137,7 +177,5 @@ def transform_ray_inverse(axes, o, ro, rd):
     directions (transform_direction_inverse normalizes, src/vmath.h:173-175).
     """
     lo = transform_vector_inverse(axes, ro - o)
-    ld = transform_vector_inverse(axes, rd)
-    n = jnp.sqrt(dot(ld, ld))
-    ld = jnp.where(n[..., None] > 0, ld / jnp.maximum(n[..., None], 1e-38), ld)
+    ld = safe_normalize(transform_vector_inverse(axes, rd))
     return lo, ld

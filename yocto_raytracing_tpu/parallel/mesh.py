@@ -1,0 +1,169 @@
+"""SPMD rendering and differentiable training over a device mesh.
+
+The reference is a single-threaded CPU loop (src/raytrace.cpp:228-251, the
+only parallel machinery — yu::concurrent's thread pool — is never used).
+The TPU-native first-class parallel axis is **rays**: pixels/samples are a
+flat batch sharded over a 1-D ``jax.sharding.Mesh``, while the scene pytree
+(geometry, BVH, materials, textures, lights, camera — the "parameters" of
+the differentiable renderer) is **replicated**.
+
+With those shardings declared on the inputs, every per-ray op partitions
+trivially and XLA inserts exactly two collectives per training step: the
+loss ``psum`` and the gradient ``psum`` over the replicated scene leaves —
+both riding ICI. No hand-written transport (the reference has none either;
+its "distributed backend" is N/A per SURVEY.md §2.3).
+
+Image assembly: each device owns a contiguous slab of the flat ray-id
+range, so gathering the rendered chunk back to host is one device-to-host
+copy per device with no reshuffle.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import renderer as renderer_mod
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(devices=None, axis_name: str = RAY_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices, ray-parallel axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Scene pytree -> every leaf replicated on all mesh devices."""
+    rep = NamedSharding(mesh, P())
+    return jax.device_put(scene, rep)
+
+
+def shard_rays(ray_ids: np.ndarray, mesh: Mesh, axis_name: str = RAY_AXIS):
+    """Flat ray ids -> sharded over the mesh's ray axis (must divide)."""
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(jnp.asarray(ray_ids), sh)
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def render_image_sharded(
+    scene,
+    meta,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    samples: int,
+    ambient: float = 0.1,
+    max_depth: int = 8,
+    chunk_pixels: int | None = None,
+) -> np.ndarray:
+    """Full-frame render with rays sharded over the mesh.
+
+    Semantically identical to renderer.render_image (same trace_rays body);
+    the batch is padded so every device gets an equal slab. Returns
+    (height, width, 4) f32 linear, alpha 1.
+    """
+    spp = samples * samples
+    npix = width * height
+    nray = npix * spp
+    ndev = mesh.devices.size
+    amb = jnp.asarray([ambient, ambient, ambient], jnp.float32)
+
+    scene = replicate_scene(scene, mesh)
+    if chunk_pixels is None:
+        chunk_rays = _pad_to(nray, ndev)
+    else:
+        chunk_rays = _pad_to(min(chunk_pixels * spp, nray), ndev)
+
+    out = np.empty((nray, 3), np.float32)
+    for start in range(0, nray, chunk_rays):
+        ids = np.minimum(np.arange(start, start + chunk_rays), nray - 1)
+        ids_sh = shard_rays(ids.astype(np.int32), mesh)
+        rgb = renderer_mod.trace_rays(
+            scene, ids_sh, amb, width=width, height=height, samples=samples,
+            max_depth=max_depth, max_stack=meta.max_stack)
+        stop = min(start + chunk_rays, nray)
+        out[start:stop] = np.asarray(rgb)[: stop - start]
+
+    rgb_pix = out.reshape(npix, spp, 3).sum(axis=1) / np.float32(spp)
+    img = np.ones((npix, 4), np.float32)
+    img[:, :3] = rgb_pix
+    return img.reshape(height, width, 4)
+
+
+def partition_scene(scene, trainable=None):
+    """Split a scene pytree into (float leaves, non-float leaves, treedef).
+
+    Gradients flow only to float leaves (camera, vertex positions, frames,
+    materials, lights); integer topology (BVH nodes, prim ids, texture ids)
+    and u8 texels are static. ``trainable`` optionally restricts further to
+    the named DeviceScene fields (e.g. materials only — geometry gradients
+    are correct pointwise but visibility is discontinuous, so optimizing
+    geometry needs smaller steps or smoothed estimators). ``None`` marks
+    the other partition's slots — each list is itself a valid pytree.
+    """
+    import dataclasses
+
+    names = [f.name for f in dataclasses.fields(scene)]
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    assert len(leaves) == len(names), "DeviceScene leaves are 1:1 fields"
+    isf = [
+        jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+        and (trainable is None or n in trainable)
+        for l, n in zip(leaves, names)
+    ]
+    diff = [l if f else None for l, f in zip(leaves, isf)]
+    static = [None if f else l for l, f in zip(leaves, isf)]
+    return diff, static, treedef
+
+
+def combine_scene(diff, static, treedef):
+    leaves = [d if d is not None else s for d, s in zip(diff, static)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def render_loss(scene, ray_ids, target_rgb, ambient, *, width, height,
+                samples, max_depth, max_stack):
+    """Mean-squared error between rendered radiance and a target, per ray.
+
+    The differentiable objective used by train_step and the gradient parity
+    tests: every float leaf of ``scene`` receives gradients (camera,
+    vertex positions, instance frames, materials, light intensities).
+    """
+    rgb = renderer_mod.trace_rays(
+        scene, ray_ids, ambient, width=width, height=height, samples=samples,
+        max_depth=max_depth, max_stack=max_stack, differentiable=True)
+    return jnp.mean((rgb - target_rgb) ** 2)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "max_stack", "trainable"))
+def train_step(scene, ray_ids, target_rgb, ambient, lr, *, width, height,
+               samples, max_depth, max_stack, trainable=None):
+    """One SGD step on every differentiable scene leaf.
+
+    The full inverse-rendering training step: forward render, MSE loss,
+    reverse-mode gradients through the detached-traversal renderer, SGD
+    update. Under sharded ``ray_ids`` + replicated ``scene``, XLA reduces
+    the per-device gradient contributions with one psum over ICI.
+    """
+    diff, static, treedef = partition_scene(scene, trainable)
+
+    def loss_fn(d):
+        sc = combine_scene(d, static, treedef)
+        return render_loss(sc, ray_ids, target_rgb, ambient, width=width,
+                           height=height, samples=samples,
+                           max_depth=max_depth, max_stack=max_stack)
+
+    loss, grads = jax.value_and_grad(loss_fn)(diff)
+    new_diff = [d if g is None else d - lr * g for d, g in zip(diff, grads)]
+    return combine_scene(new_diff, static, treedef), loss

@@ -34,7 +34,7 @@ def eval_camera(scene, uv: jnp.ndarray):
     return ro, d
 
 
-def pixel_uv(width: int, height: int, samples: int, ray_ids: jnp.ndarray):
+def pixel_uv(width, height, samples, ray_ids: jnp.ndarray):
     """Flat ray id -> (pixel id, stratified uv).
 
     Ray order matches the reference accumulation loops (raytrace.cpp:228-239):
@@ -42,7 +42,15 @@ def pixel_uv(width: int, height: int, samples: int, ray_ids: jnp.ndarray):
     jj-major. Pixel ids are i-major there (column loops outermost) but we use
     row-major pixel ids and keep the per-pixel sample order; per-pixel sums
     are order-identical.
+
+    width/height/samples should be TRACED values, not Python constants:
+    XLA's algebraic simplifier turns division by a literal into multiply-by-
+    reciprocal (1/171 in f32 is off by 2^-28), which shifted u by ulps and
+    broke pixel parity on symmetric scenes. Runtime divisors keep the exact
+    IEEE divide the reference's C++ performs.
     """
+    width = jnp.asarray(width, jnp.int32)
+    samples = jnp.asarray(samples, jnp.int32)
     spp = samples * samples
     pix = ray_ids // spp
     sub = ray_ids % spp
@@ -50,7 +58,8 @@ def pixel_uv(width: int, height: int, samples: int, ray_ids: jnp.ndarray):
     ii = sub % samples
     i = (pix % width).astype(jnp.float32)
     j = (pix // width).astype(jnp.float32)
-    s = jnp.float32(samples)
-    u = (i + (ii.astype(jnp.float32) + 0.5) / s) / jnp.float32(width)
-    v = (j + (jj.astype(jnp.float32) + 0.5) / s) / jnp.float32(height)
+    s = samples.astype(jnp.float32)
+    u = (i + (ii.astype(jnp.float32) + 0.5) / s) / width.astype(jnp.float32)
+    v = (j + (jj.astype(jnp.float32) + 0.5) / s) / jnp.asarray(
+        height, jnp.float32)
     return pix, jnp.stack([u, v], axis=-1)

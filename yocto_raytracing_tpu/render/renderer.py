@@ -39,25 +39,39 @@ def image_width(aspect: float, resolution: int) -> int:
     return int(math.floor(aspect * resolution + 0.5))
 
 
-@partial(jax.jit, static_argnames=("width", "height", "samples", "max_depth",
-                                   "max_stack"))
+@partial(jax.jit, static_argnames=("max_depth", "max_stack",
+                                   "differentiable"))
 def trace_rays(
     scene,
     ray_ids: jnp.ndarray,   # (N,) flat ray ids (pixel-major, spp-minor)
     ambient: jnp.ndarray,   # (3,)
-    width: int,
+    width: int,             # traced (see pixel_uv: exact-divide parity)
     height: int,
     samples: int,
     max_depth: int,
     max_stack: int,
+    differentiable: bool = False,
 ):
-    """Radiance for a batch of primary rays. Returns (N, 3) linear RGB."""
+    """Radiance for a batch of primary rays. Returns (N, 3) linear RGB.
+
+    Detached-traversal gradients: BVH traversal returns integer hit topology
+    under ``stop_gradient``; all differentiable quantities (hit point,
+    normal, shading) are recomputed from the gathered vertices in
+    shade_step, so ``jax.grad`` flows to camera/geometry/material/light
+    leaves while the discrete structure stays fixed. With
+    ``differentiable=True`` the depth loop is a ``lax.scan`` (reverse-mode
+    AD cannot transpose ``while_loop``); forward-only rendering keeps the
+    early-exiting ``while_loop``.
+    """
     _, uv = camera_mod.pixel_uv(width, height, samples, ray_ids)
     ro, rd = camera_mod.eval_camera(scene, uv)
     n = ro.shape[0]
 
     def occluder(p, d, tmin, tmax, mask):
-        # stacked (L, N) shadow rays -> one flat any-hit traversal
+        # stacked (L, N) shadow rays -> one flat any-hit traversal; the
+        # boolean visibility result is detached (visibility gradients are
+        # out of scope per the detached-traversal design)
+        p, d, tmin, tmax = map(jax.lax.stop_gradient, (p, d, tmin, tmax))
         shape = p.shape[:-1]
         res = traverse.intersect_scene(
             scene, p.reshape(-1, 3), d.reshape(-1, 3), tmin.reshape(-1),
@@ -67,34 +81,51 @@ def trace_rays(
 
     tmin = jnp.full((n,), RAY_EPS)
 
-    # depth loop as a while_loop: one compiled body regardless of max_depth,
-    # early exit when every path has died (kr = 0 everywhere after bounce 1
-    # for most scenes) — the iterative form of shade()'s recursion
+    # depth loop: one compiled body regardless of max_depth, early exit when
+    # every path has died (kr = 0 everywhere after bounce 1 for most
+    # scenes) — the iterative form of shade()'s recursion
     # (raytrace.cpp:187-204) capped at max_depth
-    def cond(st):
-        return (st["depth"] < max_depth) & jnp.any(st["active"])
-
     def body(st):
         hits = traverse.intersect_scene(
-            scene, st["ro"], st["rd"], tmin,
+            scene, jax.lax.stop_gradient(st["ro"]),
+            jax.lax.stop_gradient(st["rd"]), tmin,
             jnp.where(st["active"], FLT_MAX, -FLT_MAX),
             any_hit=False, max_stack=max_stack)
+        hits = jax.lax.stop_gradient(hits)
         color, kr, p, refl_dir, mask = shade_mod.shade_step(
             scene, st["ro"], st["rd"], hits, ambient, st["active"], occluder)
         acc = st["acc"] + st["thr"] * color
         cont = mask & jnp.any(kr > 0, axis=-1)
         thr = jnp.where(cont[:, None], st["thr"] * kr, st["thr"])
-        return dict(ro=p, rd=refl_dir, acc=acc, thr=thr, active=cont,
-                    depth=st["depth"] + 1)
+        # dead lanes: pin the next ray to a constant — their shading is
+        # masked out anyway, and garbage coordinates would otherwise leak
+        # infs/NaNs through the differentiable hit recompute
+        p = jnp.where(cont[:, None], p, 0.0)
+        refl_dir = jnp.where(cont[:, None], refl_dir, 1.0)
+        return dict(ro=p, rd=refl_dir, acc=acc, thr=thr, active=cont)
 
     state = dict(
         ro=ro, rd=rd,
         acc=jnp.zeros((n, 3), jnp.float32),
         thr=jnp.ones((n, 3), jnp.float32),
         active=jnp.ones((n,), bool),
-        depth=jnp.int32(0),
     )
-    out = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        def scan_body(st, _):
+            return body(st), None
+
+        out, _ = jax.lax.scan(scan_body, state, None, length=max_depth)
+    else:
+        def cond(st):
+            return (st["depth"] < max_depth) & jnp.any(st["active"])
+
+        def wbody(st):
+            st2 = body({k: v for k, v in st.items() if k != "depth"})
+            st2["depth"] = st["depth"] + 1
+            return st2
+
+        out = jax.lax.while_loop(cond, wbody,
+                                 dict(state, depth=jnp.int32(0)))
     return out["acc"]
 
 
@@ -107,15 +138,34 @@ def render_image(
     ambient: float = 0.1,
     max_depth: int = 8,
     chunk_pixels: int = 1 << 15,
+    checkpoint: str | None = None,
 ) -> np.ndarray:
-    """Full-frame render -> (height, width, 4) f32 linear, alpha 1."""
+    """Full-frame render -> (height, width, 4) f32 linear, alpha 1.
+
+    ``checkpoint``: path of an accumulator snapshot written after every
+    chunk; if it exists and matches this render's config, completed chunks
+    are skipped on resume (the tile-grained elastic-recovery unit — the
+    reference has none, a render runs to completion or not at all).
+    """
     spp = samples * samples
     npix = width * height
     amb = jnp.asarray([ambient, ambient, ambient], jnp.float32)
     chunk_pixels = min(chunk_pixels, npix)
 
+    cfg_key = np.asarray(
+        [width, height, samples, max_depth, chunk_pixels], np.int64)
     out = np.empty((npix, 3), np.float32)
-    for start in range(0, npix, chunk_pixels):
+    resume_from = 0
+    if checkpoint:
+        import os
+
+        if os.path.exists(checkpoint):
+            snap = np.load(checkpoint)
+            if (snap["key"] == cfg_key).all():
+                resume_from = int(snap["done"])
+                out[:resume_from] = snap["acc"]
+
+    for start in range(resume_from, npix, chunk_pixels):
         ids = (np.arange(start * spp, (start + chunk_pixels) * spp)
                .astype(np.int32))
         # tail chunk: same shape, excess lanes render garbage pixels that we
@@ -128,10 +178,22 @@ def render_image(
         rgb = np.asarray(rgb).reshape(chunk_pixels, spp, 3).sum(axis=1)
         stop = min(start + chunk_pixels, npix)
         out[start:stop] = rgb[: stop - start]
+        if checkpoint:
+            _atomic_savez(checkpoint, key=cfg_key, done=stop,
+                          acc=out[:stop])
 
     img = np.ones((npix, 4), np.float32)
     img[:, :3] = out / np.float32(spp)
     return img.reshape(height, width, 4)
+
+
+def _atomic_savez(path: str, **arrays) -> None:
+    """Write-then-rename so a killed render never leaves a torn snapshot."""
+    import os
+
+    tmp = path + ".tmp.npz"  # .npz suffix stops np.savez renaming it
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def render_scene_file(

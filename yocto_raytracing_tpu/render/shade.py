@@ -38,10 +38,7 @@ RAY_EPS = jnp.float32(1e-4)
 FLT_MAX = jnp.float32(3.4028235e38)
 
 
-def _normalize(v, axis=-1):
-    """normalize with the reference's 0 -> 0 convention (src/vmath.h:118-122)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return jnp.where(n > 0, v / jnp.maximum(n, 1e-38), v)
+_normalize = isect.safe_normalize
 
 
 def eval_hit(scene, ro, rd, inst, prim):
@@ -167,7 +164,7 @@ def shade_step(scene, ro, rd, hits, amb, active, occluder):
         lvec = isect.transform_point(
             scene.light_axes[:, None, :, :],
             scene.light_o[:, None, :], diff)
-        rdist = jnp.sqrt(isect.dot(lvec, lvec))                   # (L, N)
+        rdist = isect.safe_sqrt(isect.dot(lvec, lvec))            # (L, N)
         ldir = _normalize(lvec)
 
         # shadow ray (p, l, tmin=0.01, tmax=r-0.01), raytrace.cpp:131-133;
@@ -185,12 +182,12 @@ def shade_step(scene, ro, rd, hits, amb, active, occluder):
         ndl = isect.dot(n[None], ldir)
         ndh = isect.dot(n[None], h)
         # hair BRDF (raytrace.cpp:162-175) vs Blinn-Phong (177-180)
-        sinnl = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndl)))
-        sinnh = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndh)))
+        sinnl = isect.safe_sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndl)))
+        sinnh = isect.safe_sqrt(jnp.maximum(0.0, 1.0 - jnp.abs(ndh)))
         diff_w = jnp.where(is_lines[None], sinnl, jnp.maximum(0.0, ndl))
         spec_w = jnp.where(is_lines[None],
-                           jnp.power(sinnh, ns[None]),
-                           jnp.power(jnp.maximum(0.0, ndh), ns[None]))
+                           isect.safe_pow(sinnh, ns[None]),
+                           isect.safe_pow(jnp.maximum(0.0, ndh), ns[None]))
         contrib = (kd_eff[None] * ke_r2 * diff_w[..., None]
                    + ks_eff[None] * ke_r2 * spec_w[..., None])
         # per-pixel accumulation in light order (raytrace.cpp:121-185)

@@ -370,6 +370,7 @@ class DeviceScene:
     node_count: Any     # (M,) i32
     node_isleaf: Any    # (M,) i32 (0/1)
     node_kind: Any      # (M,) i32 (0: leaf holds instances, 1: holds prims)
+    node_skip: Any      # (M,) i32 threaded skip pointer (-1 = tree done)
     leaf_items: Any     # (K,) i32
     # instances
     inst_axes: Any        # (I, 3, 3) f32
@@ -544,6 +545,7 @@ def build_device_scene(host: HostScene, camera: int = 0):
         node_bbox_min=flat.bbox_min, node_bbox_max=flat.bbox_max,
         node_start=flat.start, node_count=flat.count,
         node_isleaf=flat.isleaf, node_kind=flat.kind,
+        node_skip=flat.skip,
         leaf_items=flat.leaf_items,
         inst_axes=inst_axes, inst_o=inst_o,
         inst_shape_root=inst_shape_root, inst_mat=inst_mat,
