@@ -77,7 +77,22 @@ def _build_tree(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
     Parity with make_node/split_prims (src/scene.cpp:572-639), equal_num =
     false (midpoint partition), the mode main() uses (src/raytrace.cpp:278),
     including std::partition's exact element order (_std_partition).
+    Dispatches to the native C++ builder when available (identical output,
+    asserted by tests).
     """
+    from . import native
+
+    nat = native.build_tree_native(bbox_min, bbox_max)
+    if nat is not None:
+        nb_min, nb_max, start, count, isleaf, leaf_prims, height = nat
+        return _Tree(bbox_min=nb_min, bbox_max=nb_max, start=start,
+                     count=count, isleaf=isleaf, leaf_prims=leaf_prims,
+                     height=int(height))
+    return _build_tree_python(bbox_min, bbox_max)
+
+
+def _build_tree_python(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
+    """Pure-numpy reference implementation of _build_tree."""
     n = len(bbox_min)
     centers = (bbox_min + bbox_max) * 0.5
     order = np.arange(n, dtype=np.int32)
