@@ -30,11 +30,15 @@ SCENE = "/root/reference/in/refl_pointlight/refl_pointlight.obj"
 RESOLUTION = 512
 SAMPLES = 4          # grid side; spp = 16
 MAX_DEPTH = 4
-CHUNK_PIXELS = 1 << 14
+CHUNK_PIXELS = 1 << 14  # x16 spp = 262144 rays/chunk (throughput knee)
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     from yocto_raytracing_tpu import scene as scene_lib
+    from yocto_raytracing_tpu.ops import stream as stream_mod
     from yocto_raytracing_tpu.render import renderer
 
     if os.path.exists(SCENE):
@@ -44,13 +48,15 @@ def main():
 
         host = testscenes.make_hair_scene(n_strands=256)
     dscene, meta = scene_lib.build_device_scene(host)
+    stream = stream_mod.build_stream_scene(host, dscene, meta)
+    stream = jax.tree_util.tree_map(jnp.asarray, stream)
     dscene = scene_lib.to_jax(dscene)
     cam = host.cameras[0]
     width = renderer.image_width(cam.aspect, RESOLUTION)
     height = RESOLUTION
 
     kwargs = dict(samples=SAMPLES, ambient=0.1, max_depth=MAX_DEPTH,
-                  chunk_pixels=CHUNK_PIXELS)
+                  chunk_pixels=CHUNK_PIXELS, stream=stream)
 
     # warmup: compile the chunked executable
     renderer.render_image(dscene, meta, width, height, **kwargs)

@@ -1,0 +1,104 @@
+"""Streaming cluster-scan intersector == BVH traversal, bit for bit.
+
+The stream scan (ops/stream.py) must reproduce the traversal's results
+exactly — including equal-t tie winners — because it tests prims in the
+same reference DFS order with the same inclusive acceptance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import needs_reference, reference_scene
+from yocto_raytracing_tpu import scene as scene_lib, testscenes
+from yocto_raytracing_tpu.ops import stream as stream_mod, traverse
+
+FLT_MAX = np.float32(3.4028235e38)
+
+
+def _build(host):
+    dev, meta = scene_lib.build_device_scene(host)
+    ss = stream_mod.build_stream_scene(host, dev, meta)
+    return (scene_lib.to_jax(dev), meta,
+            jax.tree_util.tree_map(jnp.asarray, ss))
+
+
+def _rays(seed, n):
+    rng = np.random.default_rng(seed)
+    ro = rng.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return (jnp.asarray(ro), jnp.asarray(rd),
+            jnp.full((n,), 1e-4, jnp.float32),
+            jnp.full((n,), FLT_MAX, jnp.float32))
+
+
+def _assert_equal(a, b):
+    for k in ("hit", "inst", "prim", "t"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_stream_matches_traversal_random(seed):
+    dev, meta, ss = _build(testscenes.make_random_scene(seed=seed))
+    ro, rd, tmin, tmax = _rays(seed + 10, 512)
+    a = traverse.intersect_scene(dev, ro, rd, tmin, tmax,
+                                 max_stack=meta.max_stack)
+    b = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax)
+    _assert_equal(a, b)
+
+
+def test_stream_matches_traversal_hair():
+    dev, meta, ss = _build(testscenes.make_hair_scene(64))
+    ro, rd, tmin, tmax = _rays(5, 512)
+    a = traverse.intersect_scene(dev, ro, rd, tmin, tmax,
+                                 max_stack=meta.max_stack)
+    b = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax)
+    _assert_equal(a, b)
+
+
+def test_stream_any_hit_consistent():
+    dev, meta, ss = _build(testscenes.make_random_scene(seed=7))
+    ro, rd, tmin, tmax = _rays(8, 512)
+    a = traverse.intersect_scene(dev, ro, rd, tmin, tmax, any_hit=True,
+                                 max_stack=meta.max_stack)
+    b = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+
+
+@needs_reference
+def test_stream_matches_traversal_simple_camera_rays():
+    host = scene_lib.load_scene(reference_scene("simple"))
+    dev, meta, ss = _build(host)
+    from yocto_raytracing_tpu.render import camera as camera_mod
+
+    ids = jnp.arange(2048, dtype=jnp.int32) * 7 % (171 * 96)
+    _, uv = camera_mod.pixel_uv(171, 96, 1, ids)
+    ro, rd = camera_mod.eval_camera(dev, uv)
+    n = ro.shape[0]
+    tmin = jnp.full((n,), 1e-4, jnp.float32)
+    tmax = jnp.full((n,), FLT_MAX, jnp.float32)
+    a = traverse.intersect_scene(dev, ro, rd, tmin, tmax,
+                                 max_stack=meta.max_stack)
+    b = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax)
+    _assert_equal(a, b)
+
+
+@needs_reference
+def test_stream_golden_render():
+    """End-to-end: renderer with the stream intersector matches the oracle."""
+    import os
+
+    from conftest import assert_golden_match
+    from yocto_raytracing_tpu import image as image_mod
+    from yocto_raytracing_tpu.render import renderer
+
+    img, *_ = renderer.render_scene_file(
+        reference_scene("simple"), resolution=96, samples=1,
+        intersector="stream")
+    assert_golden_match(
+        image_mod.tonemap(img),
+        os.path.join(os.path.dirname(__file__), "goldens",
+                     "simple_96_s1.png"))

@@ -21,7 +21,15 @@ FLT_MAX = jnp.float32(3.4028235e38)
 
 
 def dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+    """3-vector dot as explicit left-associative adds.
+
+    ``jnp.sum`` over a size-3 axis lowers with shape-dependent reduction
+    order, so the same math in differently-broadcast call sites drifts by
+    ULPs; explicit ``(x + y) + z`` pins the order (and matches the C++
+    reference's ``x*x + y*y + z*z``).
+    """
+    return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+            + a[..., 2] * b[..., 2])
 
 
 def cross(a, b):
@@ -42,7 +50,8 @@ def safe_sqrt(x):
 def safe_normalize(v, axis=-1):
     """normalize with the reference's 0 -> 0 convention (src/vmath.h:118-122)
     and a well-defined (zero) gradient at v = 0."""
-    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    del axis  # 3-vectors on the last axis only (explicit-order dot)
+    n2 = dot(v, v)[..., None]
     gt = n2 > 0
     inv = 1.0 / jnp.sqrt(jnp.where(gt, n2, 1.0))
     return jnp.where(gt, v * inv, v)
@@ -155,13 +164,16 @@ def transform_vector(axes, v):
     at bf16 input precision by default on TPU and break f32 parity (and are
     slower for this shape anyway). axes rows are the frame's x/y/z axes:
     result = v.x*x + v.y*y + v.z*z (src/vmath.h:161-163).
+    Explicit adds: shape-dependent jnp.sum reduction order drifts by ULPs.
     """
-    return jnp.sum(v[..., :, None] * axes, axis=-2)
+    return (v[..., 0:1] * axes[..., 0, :] + v[..., 1:2] * axes[..., 1, :]
+            + v[..., 2:3] * axes[..., 2, :])
 
 
 def transform_vector_inverse(axes, v):
     """``v @ axes.T`` = (dot(x,v), dot(y,v), dot(z,v)) (src/vmath.h:165-167)."""
-    return jnp.sum(axes * v[..., None, :], axis=-1)
+    return jnp.stack([dot(axes[..., 0, :], v), dot(axes[..., 1, :], v),
+                      dot(axes[..., 2, :], v)], axis=-1)
 
 
 def transform_point(axes, o, p):

@@ -51,6 +51,7 @@ def trace_rays(
     max_depth: int,
     max_stack: int,
     differentiable: bool = False,
+    stream=None,            # ops.stream.StreamScene -> cluster-scan path
 ):
     """Radiance for a batch of primary rays. Returns (N, 3) linear RGB.
 
@@ -67,16 +68,25 @@ def trace_rays(
     ro, rd = camera_mod.eval_camera(scene, uv)
     n = ro.shape[0]
 
+    def isect_fn(ro_, rd_, tmin_, tmax_, any_hit):
+        if stream is not None:
+            from ..ops import stream as stream_mod
+
+            return stream_mod.intersect_stream(stream, ro_, rd_, tmin_,
+                                               tmax_, any_hit=any_hit)
+        return traverse.intersect_scene(scene, ro_, rd_, tmin_, tmax_,
+                                        any_hit=any_hit,
+                                        max_stack=max_stack)
+
     def occluder(p, d, tmin, tmax, mask):
         # stacked (L, N) shadow rays -> one flat any-hit traversal; the
         # boolean visibility result is detached (visibility gradients are
         # out of scope per the detached-traversal design)
         p, d, tmin, tmax = map(jax.lax.stop_gradient, (p, d, tmin, tmax))
         shape = p.shape[:-1]
-        res = traverse.intersect_scene(
-            scene, p.reshape(-1, 3), d.reshape(-1, 3), tmin.reshape(-1),
-            jnp.where(mask, tmax, -FLT_MAX).reshape(-1),
-            any_hit=True, max_stack=max_stack)
+        res = isect_fn(
+            p.reshape(-1, 3), d.reshape(-1, 3), tmin.reshape(-1),
+            jnp.where(mask, tmax, -FLT_MAX).reshape(-1), True)
         return res["hit"].reshape(shape)
 
     tmin = jnp.full((n,), RAY_EPS)
@@ -86,11 +96,10 @@ def trace_rays(
     # scenes) — the iterative form of shade()'s recursion
     # (raytrace.cpp:187-204) capped at max_depth
     def body(st):
-        hits = traverse.intersect_scene(
-            scene, jax.lax.stop_gradient(st["ro"]),
+        hits = isect_fn(
+            jax.lax.stop_gradient(st["ro"]),
             jax.lax.stop_gradient(st["rd"]), tmin,
-            jnp.where(st["active"], FLT_MAX, -FLT_MAX),
-            any_hit=False, max_stack=max_stack)
+            jnp.where(st["active"], FLT_MAX, -FLT_MAX), False)
         hits = jax.lax.stop_gradient(hits)
         color, kr, p, refl_dir, mask = shade_mod.shade_step(
             scene, st["ro"], st["rd"], hits, ambient, st["active"], occluder)
@@ -139,6 +148,7 @@ def render_image(
     max_depth: int = 8,
     chunk_pixels: int = 1 << 15,
     checkpoint: str | None = None,
+    stream=None,
 ) -> np.ndarray:
     """Full-frame render -> (height, width, 4) f32 linear, alpha 1.
 
@@ -174,7 +184,7 @@ def render_image(
         rgb = trace_rays(
             scene, jnp.asarray(ids), amb,
             width=width, height=height, samples=samples,
-            max_depth=max_depth, max_stack=meta.max_stack)
+            max_depth=max_depth, max_stack=meta.max_stack, stream=stream)
         rgb = np.asarray(rgb).reshape(chunk_pixels, spp, 3).sum(axis=1)
         stop = min(start + chunk_pixels, npix)
         out[start:stop] = rgb[: stop - start]
@@ -204,19 +214,28 @@ def render_scene_file(
     camera: int = 0,
     max_depth: int = 8,
     chunk_pixels: int = 1 << 15,
+    intersector: str = "bvh",
 ):
     """Load + render, mirroring the reference main() (raytrace.cpp:256-287).
 
+    ``intersector``: "bvh" (threaded stackless traversal) or "stream"
+    (cluster-scan fast path; bit-equal results, see ops/stream.py).
     Returns (hdr image (h, w, 4) f32, host scene, device scene, meta).
     """
     from .. import scene as scene_lib
 
     host = scene_lib.load_scene(path)
     dscene, meta = scene_lib.build_device_scene(host, camera=camera)
+    stream = None
+    if intersector == "stream":
+        from ..ops import stream as stream_mod
+
+        stream = stream_mod.build_stream_scene(host, dscene, meta)
+        stream = jax.tree_util.tree_map(jnp.asarray, stream)
     dscene = scene_lib.to_jax(dscene)
     cam = host.cameras[camera]
     width = image_width(cam.aspect, resolution)
     img = render_image(dscene, meta, width, resolution, samples,
                        ambient=ambient, max_depth=max_depth,
-                       chunk_pixels=chunk_pixels)
+                       chunk_pixels=chunk_pixels, stream=stream)
     return img, host, dscene, meta
