@@ -43,7 +43,7 @@ from ..scene import PRIM_LINE, PRIM_POINT, PRIM_TRIANGLE
 
 FLT_MAX = jnp.float32(3.4028235e38)
 CLUSTER = 128
-SUPER = 8  # clusters per supercluster (one scan step)
+SUPER = 8   # clusters per supercluster
 
 
 def _pytree(cls):
@@ -77,16 +77,18 @@ class StreamScene:
     cb_max: Any    # (C, 3)
     # per-cluster metadata (indexed dynamically from the inner loop)
     ctype: Any     # (C,) i32 0=tri-only 1=line-only 2=point-only 3=mixed
-    # scan steps: one per (instance, supercluster of SUPER clusters), (S,)
-    step_cluster: Any  # (S,) i32 first cluster id of the supercluster
-    step_inst: Any     # (S,) i32 instance id (hit reporting)
-    step_axes: Any     # (S, 3, 3) f32 instance frame rows
-    step_o: Any        # (S, 3) f32
-    step_sb_min: Any   # (S, 3) f32 supercluster bbox (local space)
-    step_sb_max: Any   # (S, 3)
-    # instance-level bbox in world space for the per-step early mask
-    step_wb_min: Any   # (S, 3) f32 world bbox of the instance
-    step_wb_max: Any   # (S, 3)
+    # supercluster bboxes (local space), contiguous per shape
+    sb_min: Any    # (SC, 3) f32
+    sb_max: Any    # (SC, 3)
+    # instances in scene-DFS order
+    inst_id: Any   # (I,) i32 original instance id (hit reporting)
+    inst_axes: Any  # (I, 3, 3) f32
+    inst_o: Any    # (I, 3) f32
+    inst_wb_min: Any  # (I, 3) f32 world bbox of the instanced shape
+    inst_wb_max: Any  # (I, 3)
+    inst_sc_base: Any  # (I,) i32 first supercluster of the shape
+    inst_n_sc: Any     # (I,) i32 supercluster count of the shape
+    inst_cl_base: Any  # (I,) i32 first cluster of the shape
 
 
 def _dfs_leaf_items(start, count, isleaf, leaf_items, root):
@@ -216,38 +218,46 @@ def build_stream_scene(host, dev, meta) -> StreamScene:
         else:
             ctype[k] = 3
 
-    sc, si, sa, so = [], [], [], []
-    ssmin, ssmax, swmin, swmax = [], [], [], []
+    # supercluster bboxes, contiguous per shape
+    sb_min = cb_min.reshape(-1, SUPER, 3).min(axis=1)
+    sb_max = cb_max.reshape(-1, SUPER, 3).max(axis=1)
+    shape_sc_base = [(b // SUPER, nc // SUPER)
+                     for (b, nc) in shape_cluster_base]
+
+    # instances in scene-DFS order + per-instance shape world bboxes
+    ii_l, ax_l, o_l = [], [], []
+    wmin_l, wmax_l, scb_l, nsc_l, clb_l = [], [], [], [], []
     for ii in inst_order:
         sid = inst_shape[ii]
         base, nc = shape_cluster_base[sid]
         axes = inst_axes[ii]
         o = inst_o[ii]
-        # world bbox of the whole shape for a cheap per-step mask
         smin = cb_min[base: base + nc].min(axis=0)
         smax = cb_max[base: base + nc].max(axis=0)
         wmin, wmax = bbox_to_world(axes, o, smin, smax)
-        for k in range(0, nc, SUPER):
-            sc.append(base + k)
-            si.append(ii)
-            sa.append(axes)
-            so.append(o)
-            ssmin.append(cb_min[base + k: base + k + SUPER].min(axis=0))
-            ssmax.append(cb_max[base + k: base + k + SUPER].max(axis=0))
-            swmin.append(wmin)
-            swmax.append(wmax)
+        ii_l.append(ii)
+        ax_l.append(axes)
+        o_l.append(o)
+        wmin_l.append(wmin)
+        wmax_l.append(wmax)
+        scb_l.append(shape_sc_base[sid][0])
+        nsc_l.append(shape_sc_base[sid][1])
+        clb_l.append(base)
+
+    wb_min = np.stack(wmin_l).astype(np.float32)
+    wb_max = np.stack(wmax_l).astype(np.float32)
 
     return StreamScene(
         v0=v0, v1=v1, v2=v2, r0=r0, r1=r1, ptype=ptype, gid=gid,
         cb_min=cb_min, cb_max=cb_max, ctype=ctype,
-        step_cluster=np.asarray(sc, np.int32),
-        step_inst=np.asarray(si, np.int32),
-        step_axes=np.stack(sa).astype(np.float32),
-        step_o=np.stack(so).astype(np.float32),
-        step_sb_min=np.stack(ssmin).astype(np.float32),
-        step_sb_max=np.stack(ssmax).astype(np.float32),
-        step_wb_min=np.stack(swmin).astype(np.float32),
-        step_wb_max=np.stack(swmax).astype(np.float32),
+        sb_min=sb_min.astype(np.float32), sb_max=sb_max.astype(np.float32),
+        inst_id=np.asarray(ii_l, np.int32),
+        inst_axes=np.stack(ax_l).astype(np.float32),
+        inst_o=np.stack(o_l).astype(np.float32),
+        inst_wb_min=wb_min, inst_wb_max=wb_max,
+        inst_sc_base=np.asarray(scb_l, np.int32),
+        inst_n_sc=np.asarray(nsc_l, np.int32),
+        inst_cl_base=np.asarray(clb_l, np.int32),
     )
 
 
@@ -307,17 +317,6 @@ def _intersect_block(
         t=tmax.astype(jnp.float32),
         hit_inst=jnp.full((n,), -1, jnp.int32),
         hit_prim=jnp.full((n,), -1, jnp.int32),
-    )
-
-    xs = dict(
-        cluster=stream.step_cluster,
-        inst=stream.step_inst,
-        axes=stream.step_axes,
-        o=stream.step_o,
-        sb_min=stream.step_sb_min,
-        sb_max=stream.step_sb_max,
-        wb_min=stream.step_wb_min,
-        wb_max=stream.step_wb_max,
     )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER), 1)
@@ -391,27 +390,26 @@ def _intersect_block(
             hit_prim=jnp.where(accept, prim_k, st["hit_prim"]),
         )
 
-    def super_body(st, x, lo, ld, base_mask):
-        """Walk the SUPER clusters of one supercluster step."""
+    def clusters_body(st, cl_base, j, inst_id, lo, ld, m_inst):
+        """One supercluster: slab-gate its SUPER clusters."""
         def inner(k, st):
-            c = x["cluster"] + k
+            c = cl_base + j * SUPER + k
             m_cl = isect.intersect_bbox(lo, ld, tmin, st["t"],
                                         stream.cb_min[c][None],
                                         stream.cb_max[c][None])
-            active = base_mask & m_cl
+            active = m_inst & m_cl
             return jax.lax.cond(
                 jnp.any(active),
-                lambda: dense_test(st, c, x["inst"], lo, ld, active),
+                lambda: dense_test(st, c, inst_id, lo, ld, active),
                 lambda: st)
 
         return jax.lax.fori_loop(0, SUPER, inner, st)
 
-    def body(st, x):
-        # cheap hierarchy: world instance bbox, then local supercluster
-        # bbox; the dense 128-wide tests only run for surviving clusters
-        # (the BVH-subtree-skip analogue, as real control flow)
-        m_inst = isect.intersect_bbox(ro, rd_w, tmin, st["t"],
-                                      x["wb_min"][None], x["wb_max"][None])
+    def instance_body(st, ii):
+        """One instance: transform once, walk its superclusters."""
+        m_inst = isect.intersect_bbox(
+            ro, rd_w, tmin, st["t"],
+            stream.inst_wb_min[ii][None], stream.inst_wb_max[ii][None])
         if any_hit:
             m_inst = m_inst & (st["hit_prim"] < 0)
 
@@ -419,19 +417,46 @@ def _intersect_block(
             # instance-local ray (the transform of an identity frame
             # normalizes rd again, like the reference — keep for parity)
             lo, ld = isect.transform_ray_inverse(
-                x["axes"][None], x["o"][None], ro, rd)
-            m_sc = isect.intersect_bbox(lo, ld, tmin, st["t"],
-                                        x["sb_min"][None], x["sb_max"][None])
-            base_mask = m_inst & m_sc
-            return jax.lax.cond(
-                jnp.any(base_mask),
-                lambda: super_body(st, x, lo, ld, base_mask),
-                lambda: st)
+                stream.inst_axes[ii][None], stream.inst_o[ii][None], ro, rd)
+            sc_base = stream.inst_sc_base[ii]
+            cl_base = stream.inst_cl_base[ii]
+            inst_id = stream.inst_id[ii]
 
-        st = jax.lax.cond(jnp.any(m_inst), expand, lambda: st)
-        return st, None
+            def sc_body(j, st):
+                m_sc = isect.intersect_bbox(
+                    lo, ld, tmin, st["t"],
+                    stream.sb_min[sc_base + j][None],
+                    stream.sb_max[sc_base + j][None])
+                mask = m_inst & m_sc
+                return jax.lax.cond(
+                    jnp.any(mask),
+                    lambda: clusters_body(st, cl_base, j, inst_id, lo, ld,
+                                          mask),
+                    lambda: st)
 
-    out, _ = jax.lax.scan(body, init, xs)
+            return jax.lax.fori_loop(0, stream.inst_n_sc[ii], sc_body, st)
+
+        return jax.lax.cond(jnp.any(m_inst), expand, lambda: st)
+
+    # phase 1: per-block instance shortlist. ONE dense vectorized slab pass
+    # over all instances' world bboxes (rays x instances), reduced to a
+    # per-instance any-ray survival vector, then compacted with nonzero.
+    # The walk loop is bounded by the ACTUAL survivor count — per-iteration
+    # control-flow overhead (~us on the TPU sequencer) is paid only for
+    # instances the block can possibly hit. nonzero preserves ascending
+    # order = scene-DFS order, so the parity test order is unchanged.
+    n_inst = stream.inst_wb_min.shape[0]
+    m_all = isect.intersect_bbox(
+        ro[:, None, :], rd_w[:, None, :], tmin[:, None], tmax[:, None],
+        stream.inst_wb_min[None], stream.inst_wb_max[None])  # (N, I)
+    surv = jnp.any(m_all, axis=0)
+    cand = jnp.nonzero(surv, size=n_inst, fill_value=0)[0].astype(jnp.int32)
+    count = jnp.sum(surv.astype(jnp.int32))
+
+    def walk(i, st):
+        return instance_body(st, cand[i])
+
+    out = jax.lax.fori_loop(0, count, walk, init)
 
     return dict(
         hit=out["hit_prim"] >= 0,
