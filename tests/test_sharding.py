@@ -21,6 +21,17 @@ def setup():
     return scene_lib.to_jax(dev), meta
 
 
+@pytest.fixture(scope="module")
+def setup_stream():
+    from yocto_raytracing_tpu.ops import stream as stream_mod
+
+    host = testscenes.make_grad_scene()
+    dev, meta = scene_lib.build_device_scene(host)
+    stream = stream_mod.build_stream_scene(host, dev, meta)
+    stream = jax.tree_util.tree_map(jnp.asarray, stream)
+    return scene_lib.to_jax(dev), meta, stream
+
+
 def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
@@ -33,6 +44,47 @@ def test_sharded_render_bit_identical(setup):
     sharded = parallel.render_image_sharded(
         scene, meta, mesh, w, h, 2, max_depth=3)
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_stream_render_bit_identical(setup_stream):
+    # the production path: cluster-scan intersector under ray sharding must
+    # equal BOTH the single-device stream render and the traversal oracle
+    scene, meta, stream = setup_stream
+    w = h = 16
+    oracle = renderer_mod.render_image(scene, meta, w, h, 2, max_depth=3)
+    single = renderer_mod.render_image(scene, meta, w, h, 2, max_depth=3,
+                                       stream=stream)
+    mesh = parallel.make_ray_mesh()
+    sharded = parallel.render_image_sharded(
+        scene, meta, mesh, w, h, 2, max_depth=3, stream=stream)
+    np.testing.assert_array_equal(single, sharded)
+    np.testing.assert_array_equal(oracle, sharded)
+
+
+def test_train_step_stream(setup_stream):
+    # train_step through the stream intersector: loss decreases, finite
+    scene, meta, stream = setup_stream
+    mesh = parallel.make_ray_mesh()
+    w = h = 8
+    ids = parallel.shard_rays(np.arange(w * h, dtype=np.int32), mesh)
+    scene_r = parallel.replicate_scene(scene, mesh)
+    stream_r = parallel.replicate_scene(stream, mesh)
+    amb = jnp.asarray([0.1, 0.1, 0.1], jnp.float32)
+
+    kwargs = dict(width=w, height=h, samples=1, max_depth=3,
+                  max_stack=meta.max_stack, stream=stream_r)
+    target = renderer_mod.trace_rays(scene_r, ids, amb, **kwargs)
+    import dataclasses
+    sc = dataclasses.replace(scene_r, mat_kd=scene_r.mat_kd * 0.5)
+    sc = parallel.replicate_scene(sc, mesh)
+    losses = []
+    for _ in range(4):
+        sc, loss = parallel.train_step(
+            sc, ids, target, amb, jnp.float32(0.3),
+            trainable=("mat_kd",), **kwargs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
 
 
 def test_sharded_render_uses_all_devices(setup):

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard rays over all local devices")
     p.add_argument("--checkpoint", default="",
                    help="accumulator checkpoint path (resume if it exists)")
+    p.add_argument("--intersector", choices=("stream", "bvh"),
+                   default="stream",
+                   help="stream: cluster-scan fast path (default); "
+                        "bvh: stackless traversal oracle (bit-equal)")
     return p
 
 
@@ -54,6 +58,15 @@ def main(argv=None) -> int:
 
     with log_phase("building bvh + device scene"):
         dscene, meta = scene_lib.build_device_scene(host, camera=args.camera)
+        stream = None
+        if args.intersector == "stream":
+            import jax
+            import jax.numpy as jnp
+
+            from .ops import stream as stream_mod
+
+            stream = stream_mod.build_stream_scene(host, dscene, meta)
+            stream = jax.tree_util.tree_map(jnp.asarray, stream)
         dscene = scene_lib.to_jax(dscene)
 
     cam = host.cameras[args.camera]
@@ -73,13 +86,13 @@ def main(argv=None) -> int:
             img = parallel.render_image_sharded(
                 dscene, meta, mesh, width, height, args.samples,
                 ambient=args.ambient, max_depth=args.max_depth,
-                chunk_pixels=args.chunk_pixels)
+                chunk_pixels=args.chunk_pixels, stream=stream)
         else:
             img = renderer.render_image(
                 dscene, meta, width, height, args.samples,
                 ambient=args.ambient, max_depth=args.max_depth,
                 chunk_pixels=args.chunk_pixels,
-                checkpoint=args.checkpoint or None)
+                checkpoint=args.checkpoint or None, stream=stream)
 
     with log_phase(f"saving image {args.output}"):
         image_mod.save_hdr_or_ldr(args.output, img)

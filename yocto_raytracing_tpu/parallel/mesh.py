@@ -66,12 +66,15 @@ def render_image_sharded(
     ambient: float = 0.1,
     max_depth: int = 8,
     chunk_pixels: int | None = None,
+    stream=None,
 ) -> np.ndarray:
     """Full-frame render with rays sharded over the mesh.
 
     Semantically identical to renderer.render_image (same trace_rays body);
-    the batch is padded so every device gets an equal slab. Returns
-    (height, width, 4) f32 linear, alpha 1.
+    the batch is padded so every device gets an equal slab. ``stream`` (a
+    StreamScene) selects the cluster-scan fast path; like the scene it is
+    replicated on every device. Returns (height, width, 4) f32 linear,
+    alpha 1.
     """
     spp = samples * samples
     npix = width * height
@@ -80,6 +83,8 @@ def render_image_sharded(
     amb = jnp.asarray([ambient, ambient, ambient], jnp.float32)
 
     scene = replicate_scene(scene, mesh)
+    if stream is not None:
+        stream = replicate_scene(stream, mesh)
     if chunk_pixels is None:
         chunk_rays = _pad_to(nray, ndev)
     else:
@@ -91,7 +96,7 @@ def render_image_sharded(
         ids_sh = shard_rays(ids.astype(np.int32), mesh)
         rgb = renderer_mod.trace_rays(
             scene, ids_sh, amb, width=width, height=height, samples=samples,
-            max_depth=max_depth, max_stack=meta.max_stack)
+            max_depth=max_depth, max_stack=meta.max_stack, stream=stream)
         stop = min(start + chunk_rays, nray)
         out[start:stop] = np.asarray(rgb)[: stop - start]
 
@@ -133,22 +138,26 @@ def combine_scene(diff, static, treedef):
 
 
 def render_loss(scene, ray_ids, target_rgb, ambient, *, width, height,
-                samples, max_depth, max_stack):
+                samples, max_depth, max_stack, stream=None):
     """Mean-squared error between rendered radiance and a target, per ray.
 
     The differentiable objective used by train_step and the gradient parity
     tests: every float leaf of ``scene`` receives gradients (camera,
     vertex positions, instance frames, materials, light intensities).
+    ``stream`` selects the cluster-scan fast path for the (detached) hit
+    topology; gradients still flow through the shading recompute, which
+    gathers from ``scene`` — never from the stream tables.
     """
     rgb = renderer_mod.trace_rays(
         scene, ray_ids, ambient, width=width, height=height, samples=samples,
-        max_depth=max_depth, max_stack=max_stack, differentiable=True)
+        max_depth=max_depth, max_stack=max_stack, differentiable=True,
+        stream=stream)
     return jnp.mean((rgb - target_rgb) ** 2)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "max_stack", "trainable"))
 def train_step(scene, ray_ids, target_rgb, ambient, lr, *, width, height,
-               samples, max_depth, max_stack, trainable=None):
+               samples, max_depth, max_stack, trainable=None, stream=None):
     """One SGD step on every differentiable scene leaf.
 
     The full inverse-rendering training step: forward render, MSE loss,
@@ -162,7 +171,8 @@ def train_step(scene, ray_ids, target_rgb, ambient, lr, *, width, height,
         sc = combine_scene(d, static, treedef)
         return render_loss(sc, ray_ids, target_rgb, ambient, width=width,
                            height=height, samples=samples,
-                           max_depth=max_depth, max_stack=max_stack)
+                           max_depth=max_depth, max_stack=max_stack,
+                           stream=stream)
 
     loss, grads = jax.value_and_grad(loss_fn)(diff)
     new_diff = [d if g is None else d - lr * g for d, g in zip(diff, grads)]

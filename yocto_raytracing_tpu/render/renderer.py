@@ -214,12 +214,14 @@ def render_scene_file(
     camera: int = 0,
     max_depth: int = 8,
     chunk_pixels: int = 1 << 15,
-    intersector: str = "bvh",
+    intersector: str = "stream",
 ):
     """Load + render, mirroring the reference main() (raytrace.cpp:256-287).
 
-    ``intersector``: "bvh" (threaded stackless traversal) or "stream"
-    (cluster-scan fast path; bit-equal results, see ops/stream.py).
+    ``intersector``: "stream" (cluster-scan fast path, the production
+    default — the reference's one binary IS its fast path,
+    raytrace.cpp:256-287) or "bvh" (threaded stackless traversal, kept as
+    the bit-equal oracle; see ops/stream.py).
     Returns (hdr image (h, w, 4) f32, host scene, device scene, meta).
     """
     from .. import scene as scene_lib
