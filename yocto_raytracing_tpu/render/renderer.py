@@ -39,6 +39,25 @@ def image_width(aspect: float, resolution: int) -> int:
     return int(math.floor(aspect * resolution + 0.5))
 
 
+@partial(jax.jit, static_argnames=("spp", "max_depth", "max_stack"))
+def _render_chunk(scene, ids, ambient, width, height, samples, spp,
+                  max_depth, max_stack, stream=None):
+    """trace_rays + on-device per-pixel spp sum.
+
+    Returns (chunk_pixels, 3) pixel sums instead of (chunk_rays, 3) per-ray
+    radiance: spp-times less device->host traffic per chunk (a
+    tunnel-attached TPU moves d2h at ~25 MB/s, so transfer size — not
+    dispatch count — is the host-side render bottleneck).
+
+    ``spp`` is static for the reshape; width/height/samples stay traced
+    runtime values (see camera.pixel_uv: divide-by-literal parity).
+    """
+    rgb = trace_rays(scene, ids, ambient, width=width, height=height,
+                     samples=samples, max_depth=max_depth,
+                     max_stack=max_stack, stream=stream)
+    return rgb.reshape(-1, spp, 3).sum(axis=1)
+
+
 @partial(jax.jit, static_argnames=("max_depth", "max_stack",
                                    "differentiable"))
 def trace_rays(
@@ -181,13 +200,12 @@ def render_image(
         # tail chunk: same shape, excess lanes render garbage pixels that we
         # drop (keeps one compiled executable)
         ids = np.minimum(ids, npix * spp - 1)
-        rgb = trace_rays(
-            scene, jnp.asarray(ids), amb,
-            width=width, height=height, samples=samples,
-            max_depth=max_depth, max_stack=meta.max_stack, stream=stream)
-        rgb = np.asarray(rgb).reshape(chunk_pixels, spp, 3).sum(axis=1)
+        rgb = _render_chunk(
+            scene, jnp.asarray(ids), amb, width, height, samples,
+            spp=spp, max_depth=max_depth, max_stack=meta.max_stack,
+            stream=stream)
         stop = min(start + chunk_pixels, npix)
-        out[start:stop] = rgb[: stop - start]
+        out[start:stop] = np.asarray(rgb)[: stop - start]
         if checkpoint:
             _atomic_savez(checkpoint, key=cfg_key, done=stop,
                           acc=out[:stop])
