@@ -12,7 +12,8 @@ class _TexScene:
     """Minimal duck-typed scene carrying only texture fields."""
 
     def __init__(self, rgb, w, h):
-        self.tex_rgb = jnp.asarray(rgb)
+        self.tex_pack = jnp.asarray(
+            np.stack([scene_lib.pack_texels(r) for r in rgb]))
         self.tex_w = jnp.asarray(w, jnp.int32)
         self.tex_h = jnp.asarray(h, jnp.int32)
 
@@ -74,11 +75,11 @@ def test_repeat_wrap_beyond_one():
 def test_device_scene_texture_tables():
     host = scene_lib.load_scene(reference_scene("simple"))
     dev, _ = scene_lib.build_device_scene(host)
-    assert dev.tex_rgb.shape[0] == len(host.textures)
+    assert dev.tex_pack.shape[0] == len(host.textures)
     for i, t in enumerate(host.textures):
         if t.ldr is not None:
             assert dev.tex_h[i] == t.ldr.shape[0]
             assert dev.tex_w[i] == t.ldr.shape[1]
             np.testing.assert_array_equal(
-                dev.tex_rgb[i, : t.ldr.shape[0], : t.ldr.shape[1]],
-                t.ldr[..., :3])
+                dev.tex_pack[i, : t.ldr.shape[0], : t.ldr.shape[1]],
+                scene_lib.pack_texels(t.ldr))

@@ -96,7 +96,9 @@ def render_image_sharded(
         ids_sh = shard_rays(ids.astype(np.int32), mesh)
         rgb = renderer_mod.trace_rays(
             scene, ids_sh, amb, width=width, height=height, samples=samples,
-            max_depth=max_depth, max_stack=meta.max_stack, stream=stream)
+            max_depth=max_depth, max_stack=meta.max_stack, stream=stream,
+            has_kd_textures=meta.has_kd_textures,
+            has_ks_textures=meta.has_ks_textures)
         stop = min(start + chunk_rays, nray)
         out[start:stop] = np.asarray(rgb)[: stop - start]
 

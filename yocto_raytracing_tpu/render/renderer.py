@@ -39,9 +39,11 @@ def image_width(aspect: float, resolution: int) -> int:
     return int(math.floor(aspect * resolution + 0.5))
 
 
-@partial(jax.jit, static_argnames=("spp", "max_depth", "max_stack"))
+@partial(jax.jit, static_argnames=("spp", "max_depth", "max_stack",
+                                   "has_kd_textures", "has_ks_textures"))
 def _render_chunk(scene, ids, ambient, width, height, samples, spp,
-                  max_depth, max_stack, stream=None):
+                  max_depth, max_stack, stream=None,
+                  has_kd_textures=True, has_ks_textures=True):
     """trace_rays + on-device per-pixel spp sum.
 
     Returns (chunk_pixels, 3) pixel sums instead of (chunk_rays, 3) per-ray
@@ -54,12 +56,15 @@ def _render_chunk(scene, ids, ambient, width, height, samples, spp,
     """
     rgb = trace_rays(scene, ids, ambient, width=width, height=height,
                      samples=samples, max_depth=max_depth,
-                     max_stack=max_stack, stream=stream)
+                     max_stack=max_stack, stream=stream,
+                     has_kd_textures=has_kd_textures,
+                     has_ks_textures=has_ks_textures)
     return rgb.reshape(-1, spp, 3).sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "max_stack",
-                                   "differentiable"))
+                                   "differentiable", "has_kd_textures",
+                                   "has_ks_textures"))
 def trace_rays(
     scene,
     ray_ids: jnp.ndarray,   # (N,) flat ray ids (pixel-major, spp-minor)
@@ -71,6 +76,8 @@ def trace_rays(
     max_stack: int,
     differentiable: bool = False,
     stream=None,            # ops.stream.StreamScene -> cluster-scan path
+    has_kd_textures: bool = True,   # static shade specialization
+    has_ks_textures: bool = True,   # (SceneMeta.has_*_textures)
 ):
     """Radiance for a batch of primary rays. Returns (N, 3) linear RGB.
 
@@ -121,7 +128,9 @@ def trace_rays(
             jnp.where(st["active"], FLT_MAX, -FLT_MAX), False)
         hits = jax.lax.stop_gradient(hits)
         color, kr, p, refl_dir, mask = shade_mod.shade_step(
-            scene, st["ro"], st["rd"], hits, ambient, st["active"], occluder)
+            scene, st["ro"], st["rd"], hits, ambient, st["active"], occluder,
+            has_kd_textures=has_kd_textures,
+            has_ks_textures=has_ks_textures)
         acc = st["acc"] + st["thr"] * color
         cont = mask & jnp.any(kr > 0, axis=-1)
         thr = jnp.where(cont[:, None], st["thr"] * kr, st["thr"])
@@ -203,7 +212,8 @@ def render_image(
         rgb = _render_chunk(
             scene, jnp.asarray(ids), amb, width, height, samples,
             spp=spp, max_depth=max_depth, max_stack=meta.max_stack,
-            stream=stream)
+            stream=stream, has_kd_textures=meta.has_kd_textures,
+            has_ks_textures=meta.has_ks_textures)
         stop = min(start + chunk_pixels, npix)
         out[start:stop] = np.asarray(rgb)[: stop - start]
         if checkpoint:

@@ -47,18 +47,35 @@ def eval_hit(scene, ro, rd, inst, prim):
     Returns dict with world-space p, n, texcoord uv, barycentrics ew (N, 3),
     and the per-lane local ray. Lanes with inst/prim < 0 produce garbage the
     caller must mask.
+
+    Gathers are the dominant shade cost on TPU (each ~10 ns/row regardless
+    of width), so per-hit attributes are fetched from CONCATENATED tables —
+    one (N, 12) instance row, one (N, 4) prim row, three (N, 8) vertex rows
+    — instead of a dozen narrow gathers. The concats are (V, 8)-sized
+    device ops built from the differentiable scene leaves each call, so
+    gradients still flow to pos/norm/texcoord/frames; arithmetic and
+    values are unchanged.
     """
     inst_s = jnp.maximum(inst, 0)
     prim_s = jnp.maximum(prim, 0)
-    axes = scene.inst_axes[inst_s]
-    io = scene.inst_o[inst_s]
+    ipk = jnp.concatenate([scene.inst_axes.reshape(-1, 9), scene.inst_o],
+                          axis=1)[inst_s]                   # (N, 12)
+    axes = ipk[:, 0:9].reshape(-1, 3, 3)
+    io = ipk[:, 9:12]
     lo, ld = isect.transform_ray_inverse(axes, io, ro, rd)
 
-    pv = scene.prim_v[prim_s]
-    ptype = scene.prim_type[prim_s]
-    v0 = scene.pos[pv[:, 0]]
-    v1 = scene.pos[pv[:, 1]]
-    v2 = scene.pos[pv[:, 2]]
+    ppk = jnp.concatenate([scene.prim_v, scene.prim_type[:, None]],
+                          axis=1)[prim_s]                   # (N, 4)
+    pv = ppk[:, 0:3]
+    ptype = ppk[:, 3]
+    vert = jnp.concatenate([scene.pos, scene.norm, scene.texcoord],
+                           axis=1)                          # (V, 8)
+    a0 = vert[pv[:, 0]]
+    a1 = vert[pv[:, 1]]
+    a2 = vert[pv[:, 2]]
+    v0, n0, t0 = a0[:, 0:3], a0[:, 3:6], a0[:, 6:8]
+    v1, n1, t1 = a1[:, 0:3], a1[:, 3:6], a1[:, 6:8]
+    v2, n2, t2 = a2[:, 0:3], a2[:, 3:6], a2[:, 6:8]
 
     # triangle barycentrics (Möller-Trumbore solve, scene.cpp:229-263)
     e1 = v1 - v0
@@ -89,16 +106,12 @@ def eval_hit(scene, ro, rd, inst, prim):
     ew2 = jnp.where(is_tri, w2, 0.0)
     ew = jnp.stack([ew0, ew1, ew2], axis=-1)
 
-    def lerp3(attr):
-        return (attr[pv[:, 0]] * ew0[:, None]
-                + attr[pv[:, 1]] * ew1[:, None]
-                + attr[pv[:, 2]] * ew2[:, None])
+    def lerp3(x0, x1, x2):
+        return (x0 * ew0[:, None] + x1 * ew1[:, None] + x2 * ew2[:, None])
 
-    p_local = lerp3(scene.pos)
-    n_local = lerp3(scene.norm)
-    uv = (scene.texcoord[pv[:, 0]] * ew0[:, None]
-          + scene.texcoord[pv[:, 1]] * ew1[:, None]
-          + scene.texcoord[pv[:, 2]] * ew2[:, None])
+    p_local = lerp3(v0, v1, v2)
+    n_local = lerp3(n0, n1, n2)
+    uv = lerp3(t0, t1, t2)
 
     # instance-space eval (src/scene.h:210-218): transform point; normal via
     # transform_direction which normalizes after rotation
@@ -108,12 +121,17 @@ def eval_hit(scene, ro, rd, inst, prim):
     return dict(p=p_world, n=n_world, uv=uv, ew=ew)
 
 
-def shade_step(scene, ro, rd, hits, amb, active, occluder):
+def shade_step(scene, ro, rd, hits, amb, active, occluder,
+               has_kd_textures=True, has_ks_textures=True):
     """One wavefront bounce of the reference shade() body.
 
     ``occluder(p, d, tmin, tmax, mask)`` with (L, N, ...) stacked shadow rays
     -> (L, N) bool occlusion (the any-hit traversal, injected to avoid a
     circular import).
+
+    ``has_kd_textures``/``has_ks_textures`` are STATIC scene facts
+    (SceneMeta): when no material references a texture slot, the four
+    bilinear texel gathers for that slot are compiled out entirely.
 
     Returns (color, kr, p, refl_dir, hit_mask): ``color`` is this bounce's
     direct + ambient contribution, ``kr`` the reflection throughput factor,
@@ -128,22 +146,36 @@ def shade_step(scene, ro, rd, hits, amb, active, occluder):
     n = at["n"]
     uv = at["uv"]
 
+    # one (N, 12) material row per ray instead of six narrow gathers;
+    # texture ids ride as f32 (exact for small ints)
     mat = scene.inst_mat[inst]
-    kd = scene.mat_kd[mat]
-    ks = scene.mat_ks[mat]
-    kr = scene.mat_kr[mat]
-    rs = scene.mat_rs[mat]
-    kd_txt = scene.mat_kd_txt[mat]
-    ks_txt = scene.mat_ks_txt[mat]
+    mpk = jnp.concatenate(
+        [scene.mat_kd, scene.mat_ks, scene.mat_kr, scene.mat_rs[:, None],
+         scene.mat_kd_txt[:, None].astype(jnp.float32),
+         scene.mat_ks_txt[:, None].astype(jnp.float32)], axis=1)[mat]
+    kd = mpk[:, 0:3]
+    ks = mpk[:, 3:6]
+    kr = mpk[:, 6:9]
+    rs = mpk[:, 9]
+    kd_txt = mpk[:, 10].astype(jnp.int32)
+    ks_txt = mpk[:, 11].astype(jnp.int32)
     is_lines = scene.inst_is_lines[inst] == 1
 
     # textures (always repeat-wrap sRGB for kd/ks, raytrace.cpp:153-157)
-    has_kd_txt = kd_txt >= 0
-    kd_tex = texture_mod.eval_texture(scene, jnp.maximum(kd_txt, 0), uv, True)
-    kd_eff = jnp.where(has_kd_txt[:, None], kd * kd_tex, kd)
-    has_ks_txt = ks_txt >= 0
-    ks_tex = texture_mod.eval_texture(scene, jnp.maximum(ks_txt, 0), uv, True)
-    ks_eff = jnp.where(has_ks_txt[:, None], ks * ks_tex, ks)
+    if has_kd_textures:
+        has_kd_txt = kd_txt >= 0
+        kd_tex = texture_mod.eval_texture(scene, jnp.maximum(kd_txt, 0),
+                                          uv, True)
+        kd_eff = jnp.where(has_kd_txt[:, None], kd * kd_tex, kd)
+    else:
+        kd_eff = kd
+    if has_ks_textures:
+        has_ks_txt = ks_txt >= 0
+        ks_tex = texture_mod.eval_texture(scene, jnp.maximum(ks_txt, 0),
+                                          uv, True)
+        ks_eff = jnp.where(has_ks_txt[:, None], ks * ks_tex, ks)
+    else:
+        ks_eff = ks
 
     # ambient la = amb * kd (* kd_txt), added unconditionally
     # (raytrace.cpp:115-119, 206)

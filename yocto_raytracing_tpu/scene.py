@@ -386,8 +386,10 @@ class DeviceScene:
     mat_rs: Any     # (Mt,)
     mat_kd_txt: Any  # (Mt,) i32, -1 = none
     mat_ks_txt: Any  # (Mt,) i32
-    # textures, padded to a common (th, tw)
-    tex_rgb: Any    # (T, th, tw, 3) u8 (empty: (1,1,1,3))
+    # textures, padded to a common (th, tw); texels packed r|g<<8|b<<16 so
+    # a bilinear tap is ONE int32 gather (a u8[N,3] row gather is ~3x
+    # slower on TPU) — unpacking is cheap VPU bit math (render/texture.py)
+    tex_pack: Any   # (T, th, tw) i32 (empty: (1,1,1))
     tex_w: Any      # (T,) i32
     tex_h: Any      # (T,) i32
     # lights (instances with all ke components > 0, src/raytrace.cpp:121-130)
@@ -417,6 +419,17 @@ class SceneMeta:
     shape_vert_offset: list
     shape_node_root: list
     name: str = ""
+    # static shade specialization: whether ANY material references a
+    # kd/ks texture — lets the compiled shade skip the 4 bilinear texel
+    # gathers per absent slot (gathers dominate shade cost on TPU)
+    has_kd_textures: bool = True
+    has_ks_textures: bool = True
+
+
+def pack_texels(ldr: np.ndarray) -> np.ndarray:
+    """(h, w, >=3) u8 -> (h, w) i32 packed r | g<<8 | b<<16."""
+    l = ldr.astype(np.int32)
+    return l[..., 0] | (l[..., 1] << 8) | (l[..., 2] << 16)
 
 
 def build_device_scene(host: HostScene, camera: int = 0):
@@ -500,16 +513,16 @@ def build_device_scene(host: HostScene, camera: int = 0):
     if any(l is not None for l in ldrs):
         th = max(l.shape[0] for l in ldrs if l is not None)
         tw = max(l.shape[1] for l in ldrs if l is not None)
-        tex_rgb = np.zeros((len(ldrs), th, tw, 3), np.uint8)
+        tex_pack = np.zeros((len(ldrs), th, tw), np.int32)
         tex_w = np.zeros(len(ldrs), np.int32)
         tex_h = np.zeros(len(ldrs), np.int32)
         for i, l in enumerate(ldrs):
             if l is None:
                 continue
-            tex_rgb[i, :l.shape[0], :l.shape[1]] = l[..., :3]
+            tex_pack[i, :l.shape[0], :l.shape[1]] = pack_texels(l)
             tex_h[i], tex_w[i] = l.shape[0], l.shape[1]
     else:
-        tex_rgb = np.zeros((1, 1, 1, 3), np.uint8)
+        tex_pack = np.zeros((1, 1, 1), np.int32)
         tex_w = np.ones(1, np.int32)
         tex_h = np.ones(1, np.int32)
 
@@ -552,7 +565,7 @@ def build_device_scene(host: HostScene, camera: int = 0):
         inst_is_lines=inst_is_lines,
         mat_ke=mat_ke, mat_kd=mat_kd, mat_ks=mat_ks, mat_kr=mat_kr,
         mat_rs=mat_rs, mat_kd_txt=mat_kd_txt, mat_ks_txt=mat_ks_txt,
-        tex_rgb=tex_rgb, tex_w=tex_w, tex_h=tex_h,
+        tex_pack=tex_pack, tex_w=tex_w, tex_h=tex_h,
         light_pos=light_pos, light_axes=light_axes,
         light_o=light_o, light_ke=light_ke,
         cam_axes=cam.axes, cam_o=cam.o,
@@ -569,6 +582,8 @@ def build_device_scene(host: HostScene, camera: int = 0):
         shape_prim_offset=prim_off,
         shape_vert_offset=vert_off,
         shape_node_root=flat.shape_node_root,
+        has_kd_textures=bool((mat_kd_txt >= 0).any()),
+        has_ks_textures=bool((mat_ks_txt >= 0).any()),
     )
     return scene, meta
 
