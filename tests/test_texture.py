@@ -12,8 +12,13 @@ class _TexScene:
     """Minimal duck-typed scene carrying only texture fields."""
 
     def __init__(self, rgb, w, h):
-        self.tex_pack = jnp.asarray(
-            np.stack([scene_lib.pack_texels(r) for r in rgb]))
+        # quads baked on the LOGICAL (w, h) region like build_device_scene
+        quads = []
+        for r, ww, hh in zip(rgb, w, h):
+            q = np.zeros(r.shape[:2] + (4,), np.int32)
+            q[:hh, :ww] = scene_lib.pack_texel_quads(r[:hh, :ww])
+            quads.append(q)
+        self.tex_quad = jnp.asarray(np.stack(quads))
         self.tex_w = jnp.asarray(w, jnp.int32)
         self.tex_h = jnp.asarray(h, jnp.int32)
 
@@ -75,11 +80,11 @@ def test_repeat_wrap_beyond_one():
 def test_device_scene_texture_tables():
     host = scene_lib.load_scene(reference_scene("simple"))
     dev, _ = scene_lib.build_device_scene(host)
-    assert dev.tex_pack.shape[0] == len(host.textures)
+    assert dev.tex_quad.shape[0] == len(host.textures)
     for i, t in enumerate(host.textures):
         if t.ldr is not None:
             assert dev.tex_h[i] == t.ldr.shape[0]
             assert dev.tex_w[i] == t.ldr.shape[1]
             np.testing.assert_array_equal(
-                dev.tex_pack[i, : t.ldr.shape[0], : t.ldr.shape[1]],
-                scene_lib.pack_texels(t.ldr))
+                dev.tex_quad[i, : t.ldr.shape[0], : t.ldr.shape[1]],
+                scene_lib.pack_texel_quads(t.ldr))

@@ -58,8 +58,13 @@ def eval_hit(scene, ro, rd, inst, prim):
     """
     inst_s = jnp.maximum(inst, 0)
     prim_s = jnp.maximum(prim, 0)
-    ipk = jnp.concatenate([scene.inst_axes.reshape(-1, 9), scene.inst_o],
-                          axis=1)[inst_s]                   # (N, 12)
+    # instance row also carries material id + hair flag as f32 (exact for
+    # small ints) so shade_step needs no extra per-ray instance gathers
+    ipk = jnp.concatenate(
+        [scene.inst_axes.reshape(-1, 9), scene.inst_o,
+         scene.inst_mat[:, None].astype(jnp.float32),
+         scene.inst_is_lines[:, None].astype(jnp.float32)],
+        axis=1)[inst_s]                                     # (N, 14)
     axes = ipk[:, 0:9].reshape(-1, 3, 3)
     io = ipk[:, 9:12]
     lo, ld = isect.transform_ray_inverse(axes, io, ro, rd)
@@ -118,7 +123,9 @@ def eval_hit(scene, ro, rd, inst, prim):
     p_world = isect.transform_point(axes, io, p_local)
     n_world = _normalize(isect.transform_vector(axes, n_local))
 
-    return dict(p=p_world, n=n_world, uv=uv, ew=ew)
+    return dict(p=p_world, n=n_world, uv=uv, ew=ew,
+                mat=ipk[:, 12].astype(jnp.int32),
+                is_lines=ipk[:, 13] == 1.0)
 
 
 def shade_step(scene, ro, rd, hits, amb, active, occluder,
@@ -146,33 +153,42 @@ def shade_step(scene, ro, rd, hits, amb, active, occluder,
     n = at["n"]
     uv = at["uv"]
 
-    # one (N, 12) material row per ray instead of six narrow gathers;
-    # texture ids ride as f32 (exact for small ints)
-    mat = scene.inst_mat[inst]
+    # ONE (N, 16) material row per ray instead of eight narrow gathers;
+    # texture ids and the kd/ks textures' logical (w, h) ride as f32
+    # (exact for small ints) — the per-Mt id->dims gathers are tiny
+    mat = at["mat"]
+    is_lines = at["is_lines"]
+    kd_tid = jnp.maximum(scene.mat_kd_txt, 0)
+    ks_tid = jnp.maximum(scene.mat_ks_txt, 0)
     mpk = jnp.concatenate(
         [scene.mat_kd, scene.mat_ks, scene.mat_kr, scene.mat_rs[:, None],
          scene.mat_kd_txt[:, None].astype(jnp.float32),
-         scene.mat_ks_txt[:, None].astype(jnp.float32)], axis=1)[mat]
+         scene.mat_ks_txt[:, None].astype(jnp.float32),
+         scene.tex_w[kd_tid][:, None].astype(jnp.float32),
+         scene.tex_h[kd_tid][:, None].astype(jnp.float32),
+         scene.tex_w[ks_tid][:, None].astype(jnp.float32),
+         scene.tex_h[ks_tid][:, None].astype(jnp.float32)], axis=1)[mat]
     kd = mpk[:, 0:3]
     ks = mpk[:, 3:6]
     kr = mpk[:, 6:9]
     rs = mpk[:, 9]
     kd_txt = mpk[:, 10].astype(jnp.int32)
     ks_txt = mpk[:, 11].astype(jnp.int32)
-    is_lines = scene.inst_is_lines[inst] == 1
 
     # textures (always repeat-wrap sRGB for kd/ks, raytrace.cpp:153-157)
     if has_kd_textures:
         has_kd_txt = kd_txt >= 0
         kd_tex = texture_mod.eval_texture(scene, jnp.maximum(kd_txt, 0),
-                                          uv, True)
+                                          uv, True, wh=(mpk[:, 12],
+                                                        mpk[:, 13]))
         kd_eff = jnp.where(has_kd_txt[:, None], kd * kd_tex, kd)
     else:
         kd_eff = kd
     if has_ks_textures:
         has_ks_txt = ks_txt >= 0
         ks_tex = texture_mod.eval_texture(scene, jnp.maximum(ks_txt, 0),
-                                          uv, True)
+                                          uv, True, wh=(mpk[:, 14],
+                                                        mpk[:, 15]))
         ks_eff = jnp.where(has_ks_txt[:, None], ks * ks_tex, ks)
     else:
         ks_eff = ks

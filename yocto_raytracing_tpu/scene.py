@@ -386,10 +386,14 @@ class DeviceScene:
     mat_rs: Any     # (Mt,)
     mat_kd_txt: Any  # (Mt,) i32, -1 = none
     mat_ks_txt: Any  # (Mt,) i32
-    # textures, padded to a common (th, tw); texels packed r|g<<8|b<<16 so
-    # a bilinear tap is ONE int32 gather (a u8[N,3] row gather is ~3x
-    # slower on TPU) — unpacking is cheap VPU bit math (render/texture.py)
-    tex_pack: Any   # (T, th, tw) i32 (empty: (1,1,1))
+    # textures, padded to a common (th, tw); texels packed r|g<<8|b<<16 and
+    # stored as the full 2x2 bilinear NEIGHBORHOOD per lattice point with
+    # the reference's fmod(i+1, w) repeat-wrap pre-baked: one WIDE-row
+    # gather fetches all four taps. TPU's gather engine is row-granular
+    # (measured ~0.5 ms per 262k-row gather regardless of row width vs
+    # ~3.3 ms per scalar-row gather), so wide rows are ~7x cheaper than
+    # four scalar taps. Unpacking is cheap VPU bit math (render/texture.py)
+    tex_quad: Any   # (T, th, tw, 4) i32 [p(i,j), p(i1,j), p(i,j1), p(i1,j1)]
     tex_w: Any      # (T,) i32
     tex_h: Any      # (T,) i32
     # lights (instances with all ke components > 0, src/raytrace.cpp:121-130)
@@ -430,6 +434,21 @@ def pack_texels(ldr: np.ndarray) -> np.ndarray:
     """(h, w, >=3) u8 -> (h, w) i32 packed r | g<<8 | b<<16."""
     l = ldr.astype(np.int32)
     return l[..., 0] | (l[..., 1] << 8) | (l[..., 2] << 16)
+
+
+def pack_texel_quads(ldr: np.ndarray) -> np.ndarray:
+    """(h, w, >=3) u8 -> (h, w, 4) i32 packed 2x2 bilinear neighborhoods.
+
+    Lane k of row (j, i) holds the packed texel at [p(i,j), p(i1,j),
+    p(i,j1), p(i1,j1)] with i1 = fmod(i+1, w), j1 = fmod(j+1, h) — the
+    reference's repeat-wrap neighbor rule (src/raytrace.cpp:58-86) baked
+    into the table so one row gather serves the whole bilinear filter.
+    """
+    p = pack_texels(ldr)
+    px = np.roll(p, -1, axis=1)   # p[j, (i+1) % w]
+    py = np.roll(p, -1, axis=0)   # p[(j+1) % h, i]
+    pxy = np.roll(px, -1, axis=0)
+    return np.stack([p, px, py, pxy], axis=-1)
 
 
 def build_device_scene(host: HostScene, camera: int = 0):
@@ -513,16 +532,16 @@ def build_device_scene(host: HostScene, camera: int = 0):
     if any(l is not None for l in ldrs):
         th = max(l.shape[0] for l in ldrs if l is not None)
         tw = max(l.shape[1] for l in ldrs if l is not None)
-        tex_pack = np.zeros((len(ldrs), th, tw), np.int32)
+        tex_quad = np.zeros((len(ldrs), th, tw, 4), np.int32)
         tex_w = np.zeros(len(ldrs), np.int32)
         tex_h = np.zeros(len(ldrs), np.int32)
         for i, l in enumerate(ldrs):
             if l is None:
                 continue
-            tex_pack[i, :l.shape[0], :l.shape[1]] = pack_texels(l)
+            tex_quad[i, :l.shape[0], :l.shape[1]] = pack_texel_quads(l)
             tex_h[i], tex_w[i] = l.shape[0], l.shape[1]
     else:
-        tex_pack = np.zeros((1, 1, 1), np.int32)
+        tex_quad = np.zeros((1, 1, 1, 4), np.int32)
         tex_w = np.ones(1, np.int32)
         tex_h = np.ones(1, np.int32)
 
@@ -565,7 +584,7 @@ def build_device_scene(host: HostScene, camera: int = 0):
         inst_is_lines=inst_is_lines,
         mat_ke=mat_ke, mat_kd=mat_kd, mat_ks=mat_ks, mat_kr=mat_kr,
         mat_rs=mat_rs, mat_kd_txt=mat_kd_txt, mat_ks_txt=mat_ks_txt,
-        tex_pack=tex_pack, tex_w=tex_w, tex_h=tex_h,
+        tex_quad=tex_quad, tex_w=tex_w, tex_h=tex_h,
         light_pos=light_pos, light_axes=light_axes,
         light_o=light_o, light_ke=light_ke,
         cam_axes=cam.axes, cam_o=cam.o,
