@@ -1,0 +1,688 @@
+"""glTF 2.0 scene import/export (JSON ``.gltf`` + GLB ``.glb``).
+
+From-scratch importer with the capability set of the reference's glTF path
+(src/ext/yocto_gltf.{h,cpp} low-level parse + yscn gltf_to_scene,
+src/ext/yocto_scn.cpp:697-1099), flattened straight into ``HostScene``
+arrays instead of the reference's three-layer pointer graph:
+
+* buffers: external ``.bin`` URIs, base64 ``data:`` URIs, GLB BIN chunk
+  (the KHR_binary / GLB container the reference supports via
+  ``load_binary_gltf``).
+* accessors: all five component types, SCALAR/VEC2/VEC3/VEC4, interleaved
+  bufferView byteStride, ``normalized`` integer attributes.
+* meshes: POSITION/NORMAL/TEXCOORD_0/TANGENT/RADIUS attributes and every
+  primitive mode — points, lines, line loop/strip, triangles,
+  triangle strip/fan — indexed or not, exactly the index-expansion rules
+  of yocto_scn.cpp:925-1030.
+* node hierarchy: per-node transform ``T * R * S * matrix``
+  (src/ext/yocto_gltf.cpp:2586-2590), recursively flattened so each node
+  with a mesh becomes one instance per primitive and each node with a
+  camera becomes a camera (yocto_scn.cpp:697-718); default scene, else
+  root-node detection (yocto_scn.cpp:1060-1078).
+* materials: emissiveFactor -> ke; pbrMetallicRoughness -> kd/ks via the
+  reference's own metallic->specular mapping (yocto_scn.cpp:545-556:
+  ``kd = kb*(1-0.04)*(1-km), ks = kb*km + 0.04*(1-km)``), roughness kept;
+  KHR_materials_pbrSpecularGlossiness -> kd/ks/rs directly
+  (yocto_scn.cpp:865-875, applied after MR like the reference).
+* images: file URIs (decoded by extension like the app layer,
+  src/scene.cpp:150-160), ``data:`` URIs, and bufferView-embedded PNGs.
+
+The exporter writes a ``.gltf`` + sidecar ``.bin`` (+ texture image files)
+that round-trips through this importer: materials carry both the MR
+approximation and the exact spec-gloss extension, so kd/ks/rs survive
+bit-for-bit. ``kr`` (mirror) has no glTF representation — the reference's
+glTF path drops it too (yscn material kr stays 0 for glTF input).
+"""
+
+from __future__ import annotations
+
+import base64
+import io as _io
+import json
+import os
+import struct
+
+import numpy as np
+
+# componentType -> numpy dtype (glTF 2.0 spec table; yocto_gltf accessor_view)
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+                "MAT2": 4, "MAT3": 9, "MAT4": 16}
+
+# primitive modes (glTF spec / ygltf::glTFMeshPrimitiveMode)
+MODE_POINTS = 0
+MODE_LINES = 1
+MODE_LINE_LOOP = 2
+MODE_LINE_STRIP = 3
+MODE_TRIANGLES = 4
+MODE_TRIANGLE_STRIP = 5
+MODE_TRIANGLE_FAN = 6
+
+_SPECGLOSS = "KHR_materials_pbrSpecularGlossiness"
+
+
+class GltfError(ValueError):
+    """Malformed or unsupported glTF content."""
+
+
+# --------------------------------------------------------------------------
+# low-level parse: buffers and accessors
+# --------------------------------------------------------------------------
+
+
+def _read_glb(data: bytes):
+    """GLB container -> (json dict, BIN chunk bytes or None)."""
+    magic, version, _length = struct.unpack_from("<III", data, 0)
+    if magic != 0x46546C67:  # 'glTF'
+        raise GltfError("not a GLB file (bad magic)")
+    if version != 2:
+        raise GltfError(f"unsupported GLB version {version}")
+    off = 12
+    gltf_json = None
+    bin_chunk = None
+    while off + 8 <= len(data):
+        clen, ctype = struct.unpack_from("<II", data, off)
+        chunk = data[off + 8:off + 8 + clen]
+        if ctype == 0x4E4F534A:  # 'JSON'
+            gltf_json = json.loads(chunk.decode("utf-8"))
+        elif ctype == 0x004E4942:  # 'BIN'
+            bin_chunk = chunk
+        off += 8 + clen + (-clen % 4)
+    if gltf_json is None:
+        raise GltfError("GLB file has no JSON chunk")
+    return gltf_json, bin_chunk
+
+
+def _decode_uri(uri: str, dirname: str) -> bytes:
+    if uri.startswith("data:"):
+        header, _, payload = uri.partition(",")
+        if ";base64" not in header:
+            raise GltfError("only base64 data: URIs are supported")
+        return base64.b64decode(payload)
+    path = os.path.join(dirname, uri)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _load_buffers(g: dict, dirname: str, bin_chunk: bytes | None) -> list:
+    out = []
+    for i, buf in enumerate(g.get("buffers", [])):
+        if "uri" in buf:
+            out.append(_decode_uri(buf["uri"], dirname))
+        elif bin_chunk is not None and i == 0:
+            out.append(bin_chunk)
+        else:
+            raise GltfError(f"buffer {i} has no uri and no GLB BIN chunk")
+    return out
+
+
+def _accessor(g: dict, buffers: list, idx: int) -> np.ndarray:
+    """Accessor -> (count, ncomp) array; ints normalized if flagged.
+
+    Mirrors ygltf::accessor_view (yocto_gltf.h:1602-1708): dense reads with
+    byteStride, float conversion of normalized ints.
+    """
+    acc = g["accessors"][idx]
+    dtype = _COMPONENT_DTYPES.get(acc["componentType"])
+    if dtype is None:
+        raise GltfError(f"unknown componentType {acc['componentType']}")
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    count = acc["count"]
+    itemsize = np.dtype(dtype).itemsize * ncomp
+
+    if "bufferView" not in acc:  # spec: all zeros (sparse base)
+        arr = np.zeros((count, ncomp), dtype=dtype)
+    else:
+        bv = g["bufferViews"][acc["bufferView"]]
+        data = buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride", 0) or itemsize
+        if stride == itemsize:
+            arr = np.frombuffer(
+                data, dtype=dtype, count=count * ncomp, offset=start
+            ).reshape(count, ncomp)
+        else:  # interleaved
+            raw = np.frombuffer(
+                data, dtype=np.uint8,
+                count=stride * (count - 1) + itemsize, offset=start)
+            rows = np.lib.stride_tricks.as_strided(
+                raw, shape=(count, itemsize), strides=(stride, 1))
+            arr = rows.copy().view(dtype).reshape(count, ncomp)
+
+    if acc.get("sparse"):
+        sp = acc["sparse"]
+        n = sp["count"]
+        ibv = g["bufferViews"][sp["indices"]["bufferView"]]
+        idt = _COMPONENT_DTYPES[sp["indices"]["componentType"]]
+        ioff = ibv.get("byteOffset", 0) + sp["indices"].get("byteOffset", 0)
+        sidx = np.frombuffer(buffers[ibv["buffer"]], dtype=idt, count=n,
+                             offset=ioff).astype(np.int64)
+        vbv = g["bufferViews"][sp["values"]["bufferView"]]
+        voff = vbv.get("byteOffset", 0) + sp["values"].get("byteOffset", 0)
+        vals = np.frombuffer(buffers[vbv["buffer"]], dtype=dtype,
+                             count=n * ncomp, offset=voff).reshape(n, ncomp)
+        arr = arr.copy()
+        arr[sidx] = vals
+
+    if acc.get("normalized") and np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        arr = arr.astype(np.float32) / float(info.max)
+        if info.min < 0:
+            arr = np.maximum(arr, -1.0)
+    return arr
+
+
+def _accessor_f32(g, buffers, idx, want_comp, fill=0.0):
+    arr = _accessor(g, buffers, idx).astype(np.float32)
+    if arr.shape[1] < want_comp:
+        pad = np.full((arr.shape[0], want_comp - arr.shape[1]), fill,
+                      np.float32)
+        arr = np.concatenate([arr, pad], axis=1)
+    return arr[:, :want_comp]
+
+
+# --------------------------------------------------------------------------
+# index expansion (parity: yocto_scn.cpp:925-1030)
+# --------------------------------------------------------------------------
+
+
+def _expand_indices(mode: int, idx: np.ndarray | None, nverts: int):
+    """-> (points (P,), lines (L,2), triangles (T,3)) int32 arrays."""
+    if idx is None:
+        idx = np.arange(nverts, dtype=np.int64)
+    idx = idx.astype(np.int64).reshape(-1)
+    n = len(idx)
+    pts = np.zeros(0, np.int32)
+    lins = np.zeros((0, 2), np.int32)
+    tris = np.zeros((0, 3), np.int32)
+    if mode == MODE_TRIANGLES:
+        tris = idx[: (n // 3) * 3].reshape(-1, 3).astype(np.int32)
+    elif mode == MODE_TRIANGLE_FAN:
+        if n >= 3:
+            tris = np.stack([np.full(n - 2, idx[0]), idx[1:-1], idx[2:]],
+                            axis=1).astype(np.int32)
+    elif mode == MODE_TRIANGLE_STRIP:
+        if n >= 3:
+            tris = np.stack([idx[:-2], idx[1:-1], idx[2:]],
+                            axis=1).astype(np.int32)
+    elif mode == MODE_LINES:
+        lins = idx[: (n // 2) * 2].reshape(-1, 2).astype(np.int32)
+    elif mode == MODE_LINE_STRIP:
+        if n >= 2:
+            lins = np.stack([idx[:-1], idx[1:]], axis=1).astype(np.int32)
+    elif mode == MODE_LINE_LOOP:
+        # the reference builds the strip then REWRITES the last segment to
+        # wrap (yocto_scn.cpp:955-961: lines.back() = {last, first})
+        if n >= 2:
+            lins = np.stack([idx[:-1], idx[1:]], axis=1).astype(np.int32)
+            lins[-1] = (idx[-1], idx[0])
+    else:  # Points / NotSet
+        pts = idx.astype(np.int32)
+    return pts, lins, tris
+
+
+# --------------------------------------------------------------------------
+# node transforms (parity: yocto_gltf.cpp:2586-2590)
+# --------------------------------------------------------------------------
+
+
+def _quat_to_mat3(q) -> np.ndarray:
+    x, y, z, w = [float(v) for v in q]
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y + z * w), 2 * (z * x - y * w)],
+        [2 * (x * y - z * w), 1 - 2 * (x * x + z * z), 2 * (y * z + x * w)],
+        [2 * (z * x + y * w), 2 * (y * z - x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float32).T  # column-vector convention
+
+
+def _node_transform(node: dict) -> np.ndarray:
+    """T * R * S * matrix as a column-vector 4x4 (yocto_gltf.cpp:2586)."""
+    m = np.eye(4, dtype=np.float32)
+    if "matrix" in node:
+        m = np.asarray(node["matrix"], np.float32).reshape(4, 4, order="F")
+    s = np.diag(list(node.get("scale", (1, 1, 1))) + [1.0]).astype(np.float32)
+    r = np.eye(4, dtype=np.float32)
+    r[:3, :3] = _quat_to_mat3(node.get("rotation", (0, 0, 0, 1)))
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = node.get("translation", (0, 0, 0))
+    return t @ r @ s @ m
+
+
+def _to_frame(m: np.ndarray):
+    """Column-vector 4x4 -> (axes rows-are-basis (3,3), origin (3,)).
+
+    Our frame applies as ``p @ axes + o`` (scene.py header), i.e.
+    ``axes = M[:3,:3].T``.
+    """
+    return np.ascontiguousarray(m[:3, :3].T, np.float32), \
+        np.ascontiguousarray(m[:3, 3], np.float32)
+
+
+# --------------------------------------------------------------------------
+# images
+# --------------------------------------------------------------------------
+
+
+def _decode_image_bytes(data: bytes):
+    """-> (ldr u8 RGBA or None, hdr f32 RGBA or None)."""
+    from PIL import Image
+
+    with Image.open(_io.BytesIO(data)) as im:
+        if im.mode in ("F", "I"):
+            arr = np.asarray(im, np.float32)
+            hdr = np.stack([arr] * 3 + [np.ones_like(arr)], -1)
+            return None, hdr
+        rgba = np.asarray(im.convert("RGBA"), np.uint8)
+        return rgba, None
+
+
+def _load_image(g, buffers, dirname, img: dict):
+    from .. import image as image_mod
+
+    if "uri" in img:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            return _decode_image_bytes(_decode_uri(uri, dirname))
+        path = os.path.join(dirname, uri)
+        # decode by extension like the app layer (src/scene.cpp:150-160)
+        if uri.endswith(".hdr"):
+            return None, image_mod.load_image4f(path)
+        return image_mod.load_image4b(path), None
+    if "bufferView" in img:
+        bv = g["bufferViews"][img["bufferView"]]
+        start = bv.get("byteOffset", 0)
+        data = buffers[bv["buffer"]][start:start + bv["byteLength"]]
+        return _decode_image_bytes(data)
+    return None, None
+
+
+# --------------------------------------------------------------------------
+# import
+# --------------------------------------------------------------------------
+
+
+def load_gltf(filename: str):
+    """Load a .gltf/.glb file into a ``HostScene``.
+
+    Equivalent of load_gltf_scene + gltf_to_scene + the app-layer
+    conversion (yocto_scn.cpp:1085-1099, 697-1082; src/scene.cpp:113-225).
+    """
+    from .. import scene as scene_mod
+
+    dirname = os.path.dirname(filename)
+    try:
+        with open(filename, "rb") as f:
+            raw = f.read()
+    except OSError as e:
+        raise scene_mod.SceneLoadError(f"cannot open scene: {e}") from e
+
+    if filename.endswith(".glb") or raw[:4] == b"glTF":
+        g, bin_chunk = _read_glb(raw)
+    else:
+        try:
+            g = json.loads(raw.decode("utf-8"))
+        except ValueError as e:
+            raise GltfError(f"malformed glTF JSON: {e}") from e
+        bin_chunk = None
+    buffers = _load_buffers(g, dirname, bin_chunk)
+
+    # textures: glTF texture -> image source (samplers: lookup is always
+    # bilinear repeat in the renderer, matching raytrace.cpp:66-67)
+    textures = []
+    for i, img in enumerate(g.get("images", [])):
+        ldr, hdr = _load_image(g, buffers, dirname, img)
+        name = img.get("uri", img.get("name", f"image{i}"))
+        textures.append(scene_mod.HostTexture(name=name, ldr=ldr, hdr=hdr))
+
+    def tex_id(tinfo) -> int:
+        # texture info -> image index (add_texture, yocto_scn.cpp:819-834)
+        if not tinfo:
+            return -1
+        tex = g.get("textures", [])
+        t = tinfo.get("index", -1)
+        if t < 0 or t >= len(tex):
+            return -1
+        return tex[t].get("source", -1)
+
+    # materials (yocto_scn.cpp:843-880 + the app/scene_to_obj MR mapping)
+    materials = []
+    for gmat in g.get("materials", []):
+        mat = scene_mod.HostMaterial(name=gmat.get("name", ""))
+        mat.ke = np.asarray(gmat.get("emissiveFactor", (0, 0, 0)),
+                            np.float32)
+        mat.ke_txt = tex_id(gmat.get("emissiveTexture"))
+        mat.norm_txt = tex_id(gmat.get("normalTexture"))
+        mr = gmat.get("pbrMetallicRoughness")
+        if mr is not None:
+            base = np.asarray(mr.get("baseColorFactor", (1, 1, 1, 1)),
+                              np.float32)
+            km = float(mr.get("metallicFactor", 1.0))
+            rs = float(mr.get("roughnessFactor", 1.0))
+            # metallic-roughness -> specular-roughness, the mapping the
+            # reference itself uses (yocto_scn.cpp:545-556)
+            if rs == 1.0 and km == 0.0:
+                mat.kd = base[:3].copy()
+                mat.ks = np.zeros(3, np.float32)
+                mat.rs = 1.0
+            else:
+                mat.kd = base[:3] * (1 - 0.04) * (1 - km)
+                mat.ks = base[:3] * km + 0.04 * (1 - km)
+                mat.rs = rs
+            bc_txt = tex_id(mr.get("baseColorTexture"))
+            if km < 0.5:
+                mat.kd_txt = bc_txt
+            else:
+                mat.ks_txt = bc_txt
+        sg = gmat.get("extensions", {}).get(_SPECGLOSS)
+        if sg is not None:  # exact kd/ks/rs (yocto_scn.cpp:865-875)
+            diff = np.asarray(sg.get("diffuseFactor", (1, 1, 1, 1)),
+                              np.float32)
+            mat.kd = diff[:3].copy()
+            mat.ks = np.asarray(sg.get("specularFactor", (1, 1, 1)),
+                                np.float32)
+            mat.rs = float(sg.get("glossinessFactor", 1.0))
+            mat.kd_txt = tex_id(sg.get("diffuseTexture"))
+            mat.ks_txt = tex_id(sg.get("specularGlossinessTexture"))
+        ext = gmat.get("extras", {})
+        if "kr" in ext:  # our exporter's mirror-term sidecar
+            mat.kr = np.asarray(ext["kr"], np.float32)
+        materials.append(mat)
+
+    # meshes -> shapes; remember (mesh id -> [(shape id, material id)])
+    shapes = []
+    mesh_shapes = []
+    for gmesh in g.get("meshes", []):
+        ids = []
+        for gprim in gmesh.get("primitives", []):
+            attrs = gprim.get("attributes", {})
+            if "POSITION" not in attrs:
+                continue
+            pos = _accessor_f32(g, buffers, attrs["POSITION"], 3)
+            nv = len(pos)
+            norm = (_accessor_f32(g, buffers, attrs["NORMAL"], 3)
+                    if "NORMAL" in attrs else np.zeros((0, 3), np.float32))
+            tc_key = ("TEXCOORD_0" if "TEXCOORD_0" in attrs
+                      else "TEXCOORD" if "TEXCOORD" in attrs else None)
+            texcoord = (_accessor_f32(g, buffers, attrs[tc_key], 2)
+                        if tc_key else np.zeros((nv, 2), np.float32))
+            radius = (_accessor_f32(g, buffers, attrs["RADIUS"], 1)[:, 0]
+                      if "RADIUS" in attrs else np.zeros(0, np.float32))
+            idx = (_accessor(g, buffers, gprim["indices"]).reshape(-1)
+                   if "indices" in gprim else None)
+            pts, lins, tris = _expand_indices(
+                gprim.get("mode", MODE_TRIANGLES), idx, nv)
+            shp = scene_mod.HostShape(
+                name=gmesh.get("name", f"mesh{len(mesh_shapes)}"),
+                pos=pos, norm=norm, texcoord=texcoord, radius=radius,
+                points=pts, lines=lins, triangles=tris)
+            ids.append((len(shapes), gprim.get("material", -1)))
+            shapes.append(shp)
+        mesh_shapes.append(ids)
+
+    # cameras (yocto_scn.cpp:1036-1058); glTF has no aperture/focus ->
+    # reference yscn camera defaults aperture=0 focus=1, unless our
+    # exporter's extras carry the exact values
+    proto_cameras = []
+    for gcam in g.get("cameras", []):
+        extras = gcam.get("extras", {})
+        focus = float(extras.get("focus", 1.0))
+        aperture = float(extras.get("aperture", 0.0))
+        if gcam.get("type") == "orthographic":
+            o = gcam.get("orthographic", {})
+            ymag = float(o.get("ymag", 1.0))
+            proto_cameras.append(dict(
+                name=gcam.get("name", ""), yfov=ymag,
+                aspect=float(o.get("xmag", ymag)) / ymag,
+                focus=focus, aperture=aperture))
+        else:
+            p = gcam.get("perspective", {})
+            proto_cameras.append(dict(
+                name=gcam.get("name", ""),
+                yfov=float(p.get("yfov", 2 * np.arctan(0.5))),
+                aspect=float(p.get("aspectRatio") or (16.0 / 9.0)),
+                focus=focus, aperture=aperture))
+
+    # flatten node hierarchy (gltf_node_to_instances, yocto_scn.cpp:697-718)
+    nodes = g.get("nodes", [])
+    cameras = []
+    instances = []
+
+    def visit(nid: int, parent: np.ndarray):
+        node = nodes[nid]
+        xform = parent @ _node_transform(node)
+        axes, o = _to_frame(xform)
+        if "camera" in node and 0 <= node["camera"] < len(proto_cameras):
+            pc = proto_cameras[node["camera"]]
+            cameras.append(scene_mod.HostCamera(
+                name=pc["name"], axes=axes, o=o, yfov=pc["yfov"],
+                aspect=pc["aspect"], aperture=pc["aperture"],
+                focus=pc["focus"]))
+        if "mesh" in node and 0 <= node["mesh"] < len(mesh_shapes):
+            for sid, mid in mesh_shapes[node["mesh"]]:
+                instances.append(scene_mod.HostInstance(
+                    name=node.get("name", f"node{nid}"),
+                    axes=axes, o=o, shape=sid, material=mid))
+        for cid in node.get("children", []):
+            visit(cid, xform)
+
+    ident = np.eye(4, dtype=np.float32)
+    if "scene" in g and g.get("scenes"):
+        for nid in g["scenes"][g["scene"]].get("nodes", []):
+            visit(nid, ident)
+    elif nodes:
+        is_root = [True] * len(nodes)
+        for node in nodes:
+            for cid in node.get("children", []):
+                is_root[cid] = False
+        for nid, root in enumerate(is_root):
+            if root:
+                visit(nid, ident)
+
+    host = scene_mod.HostScene(
+        cameras=cameras, shapes=shapes, textures=textures,
+        materials=materials, instances=instances, environments=[],
+        dirname=dirname)
+    scene_mod.finalize_scene(host)
+    return host
+
+
+# --------------------------------------------------------------------------
+# export
+# --------------------------------------------------------------------------
+
+
+def save_gltf(host, filename: str) -> None:
+    """Write ``HostScene`` as .gltf + sidecar .bin (+ texture files).
+
+    save_scene-for-glTF equivalent (yocto_scn.h:447-455 dispatch,
+    scene_to_gltf yocto_scn.cpp:1140-1300). Materials are written as both
+    pbrMetallicRoughness (approximate inverse of the import mapping) and
+    the exact spec-gloss extension so kd/ks/rs round-trip losslessly; kr
+    goes to ``extras`` (no glTF equivalent).
+    """
+    from .. import image as image_mod
+
+    dirname = os.path.dirname(filename) or "."
+    stem = os.path.splitext(os.path.basename(filename))[0]
+    os.makedirs(dirname, exist_ok=True)
+
+    blob = bytearray()
+    buffer_views = []
+    accessors = []
+
+    def add_accessor(arr: np.ndarray, ctype: int, type_: str,
+                     with_minmax=False) -> int:
+        data = np.ascontiguousarray(arr).tobytes()
+        pad = -len(blob) % 4
+        blob.extend(b"\0" * pad)
+        buffer_views.append({
+            "buffer": 0, "byteOffset": len(blob), "byteLength": len(data)})
+        blob.extend(data)
+        acc = {"bufferView": len(buffer_views) - 1, "componentType": ctype,
+               "count": int(arr.shape[0]), "type": type_}
+        if with_minmax:
+            acc["min"] = [float(v) for v in arr.min(axis=0)]
+            acc["max"] = [float(v) for v in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    # textures -> image files next to the .gltf
+    images = []
+    for i, tex in enumerate(host.textures):
+        name = tex.name or f"texture{i}.png"
+        if tex.hdr is not None and not name.endswith(".hdr"):
+            name = os.path.splitext(name)[0] + ".hdr"
+        out_path = os.path.join(dirname, name)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        if tex.hdr is not None:
+            image_mod.save_image_hdr(out_path, tex.hdr)
+        else:
+            image_mod.save_image_png(out_path, tex.ldr)
+        images.append({"uri": name})
+    gtextures = [{"source": i} for i in range(len(images))]
+
+    def tex_info(tid: int):
+        return {"index": int(tid)} if tid >= 0 else None
+
+    materials = []
+    for m in host.materials:
+        kd = np.asarray(m.kd, np.float32)
+        ks = np.asarray(m.ks, np.float32)
+        # approximate inverse of the import mapping: metallic from the
+        # specular level, base color recovering kd+ks energy
+        km = float(np.clip((ks.max() - 0.04) / 0.96, 0.0, 1.0))
+        base = kd / max(1e-6, (1 - 0.04) * (1 - km)) if km < 1 else ks
+        mr = {
+            "baseColorFactor": [float(v) for v in np.clip(base, 0, 1)] + [1.0],
+            "metallicFactor": km,
+            "roughnessFactor": float(np.clip(m.rs, 0, 1)),
+        }
+        sg = {
+            "diffuseFactor": [float(v) for v in kd] + [1.0],
+            "specularFactor": [float(v) for v in ks],
+            "glossinessFactor": float(m.rs),
+        }
+        if m.kd_txt >= 0:
+            sg["diffuseTexture"] = tex_info(m.kd_txt)
+            if km < 0.5:
+                mr["baseColorTexture"] = tex_info(m.kd_txt)
+        if m.ks_txt >= 0:
+            sg["specularGlossinessTexture"] = tex_info(m.ks_txt)
+            if km >= 0.5:
+                mr["baseColorTexture"] = tex_info(m.ks_txt)
+        gmat = {
+            "name": m.name,
+            "emissiveFactor": [float(v) for v in m.ke],
+            "pbrMetallicRoughness": mr,
+            "extensions": {_SPECGLOSS: sg},
+        }
+        if m.ke_txt >= 0:
+            gmat["emissiveTexture"] = tex_info(m.ke_txt)
+        if m.norm_txt >= 0:
+            gmat["normalTexture"] = tex_info(m.norm_txt)
+        if float(np.max(m.kr)) > 0:
+            gmat["extras"] = {"kr": [float(v) for v in m.kr]}
+        materials.append(gmat)
+
+    # one glTF mesh per (shape, material) pair actually instanced
+    pair_mesh: dict = {}
+    meshes = []
+    for ist in host.instances:
+        key = (ist.shape, ist.material)
+        if key in pair_mesh:
+            continue
+        shp = host.shapes[ist.shape]
+        attrs = {"POSITION": add_accessor(
+            shp.pos.astype(np.float32), 5126, "VEC3", with_minmax=True)}
+        if len(shp.norm):
+            attrs["NORMAL"] = add_accessor(
+                shp.norm.astype(np.float32), 5126, "VEC3")
+        if len(shp.texcoord) and np.any(shp.texcoord):
+            attrs["TEXCOORD_0"] = add_accessor(
+                shp.texcoord.astype(np.float32), 5126, "VEC2")
+        if len(shp.radius) and np.any(shp.radius):
+            attrs["RADIUS"] = add_accessor(
+                shp.radius.astype(np.float32).reshape(-1, 1), 5126, "SCALAR")
+        prims = []
+        for idx, mode in ((shp.triangles, MODE_TRIANGLES),
+                          (shp.lines, MODE_LINES),
+                          (shp.points, MODE_POINTS)):
+            if not len(idx):
+                continue
+            prim = {
+                "attributes": attrs,
+                "mode": mode,
+                "indices": add_accessor(
+                    np.asarray(idx, np.uint32).reshape(-1, 1), 5125,
+                    "SCALAR"),
+            }
+            if ist.material >= 0:
+                prim["material"] = int(ist.material)
+            prims.append(prim)
+        pair_mesh[key] = len(meshes)
+        meshes.append({"name": shp.name, "primitives": prims})
+
+    def frame_to_matrix(axes: np.ndarray, o: np.ndarray) -> list:
+        m = np.eye(4, dtype=np.float64)
+        m[:3, :3] = np.asarray(axes, np.float64).T
+        m[:3, 3] = np.asarray(o, np.float64)
+        return [float(v) for v in m.flatten(order="F")]
+
+    nodes = []
+    for ist in host.instances:
+        nodes.append({
+            "name": ist.name,
+            "matrix": frame_to_matrix(ist.axes, ist.o),
+            "mesh": pair_mesh[(ist.shape, ist.material)],
+        })
+    gcameras = []
+    for cam in host.cameras:
+        gcameras.append({
+            "name": cam.name,
+            "type": "perspective",
+            "perspective": {"yfov": float(cam.yfov),
+                            "aspectRatio": float(cam.aspect),
+                            "znear": 1e-4},
+            # glTF has no lens model; keep the exact focus/aperture so the
+            # camera round-trips bit-for-bit (focus scales the image plane,
+            # raytrace.cpp:14-31, and perturbs f32 ray rounding)
+            "extras": {"focus": float(cam.focus),
+                       "aperture": float(cam.aperture)},
+        })
+        nodes.append({
+            "name": cam.name,
+            "matrix": frame_to_matrix(cam.axes, cam.o),
+            "camera": len(gcameras) - 1,
+        })
+
+    bin_name = stem + ".bin"
+    with open(os.path.join(dirname, bin_name), "wb") as f:
+        f.write(bytes(blob))
+
+    g = {
+        "asset": {"version": "2.0", "generator": "yocto_raytracing_tpu"},
+        "extensionsUsed": [_SPECGLOSS],
+        "buffers": [{"uri": bin_name, "byteLength": len(blob)}],
+        "bufferViews": buffer_views,
+        "accessors": accessors,
+        "meshes": meshes,
+        "nodes": nodes,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "scene": 0,
+    }
+    if images:
+        g["images"] = images
+        g["textures"] = gtextures
+    if materials:
+        g["materials"] = materials
+    if gcameras:
+        g["cameras"] = gcameras
+    with open(filename, "wt") as f:
+        json.dump(g, f, indent=1)

@@ -21,6 +21,7 @@ copy per device with no reshuffle.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import numpy as np
@@ -32,9 +33,55 @@ from ..render import renderer as renderer_mod
 
 RAY_AXIS = "rays"
 
+_distributed_initialized = False
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host setup: ``jax.distributed.initialize`` gated + idempotent.
+
+    After this, ``jax.devices()`` spans every host in the job and
+    ``make_ray_mesh()`` builds a global mesh, so the same
+    replicated-scene/sharded-rays layout runs across hosts — gradient
+    psums ride ICI within a slice and DCN across (SURVEY.md §2.3
+    "Distributed communication backend"). The reference has no analogue
+    (single process, src/raytrace.cpp).
+
+    Arguments fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) and to
+    TPU-pod auto-detection when none are set. Returns the process id.
+    No-op (returns current id) when already initialized or single-process.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return jax.process_index()
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if process_id is None:
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env else None
+    if coordinator is None and num_processes is None:
+        # single-host (or TPU-pod metadata available): let jax auto-detect;
+        # on a lone host initialize() is unnecessary and may not apply
+        if os.environ.get("TPU_WORKER_HOSTNAMES") is None:
+            return jax.process_index()
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id)
+    _distributed_initialized = True
+    return jax.process_index()
+
 
 def make_ray_mesh(devices=None, axis_name: str = RAY_AXIS) -> Mesh:
-    """1-D mesh over all (or the given) devices, ray-parallel axis."""
+    """1-D mesh over all (or the given) devices, ray-parallel axis.
+
+    Defaults to the GLOBAL device list, which spans hosts after
+    ``init_distributed`` — the multi-host mesh falls out of the same call.
+    """
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
@@ -47,9 +94,16 @@ def replicate_scene(scene, mesh: Mesh):
 
 
 def shard_rays(ray_ids: np.ndarray, mesh: Mesh, axis_name: str = RAY_AXIS):
-    """Flat ray ids -> sharded over the mesh's ray axis (must divide)."""
+    """Flat ray ids -> sharded over the mesh's ray axis (must divide).
+
+    Built shard-by-shard (``make_array_from_callback``) so it works when
+    the mesh spans hosts and only this process's slab is addressable —
+    ray ids are a cheap iota, every process materializes only its slice.
+    """
+    ray_ids = np.asarray(ray_ids)
     sh = NamedSharding(mesh, P(axis_name))
-    return jax.device_put(jnp.asarray(ray_ids), sh)
+    return jax.make_array_from_callback(
+        ray_ids.shape, sh, lambda idx: ray_ids[idx])
 
 
 def _pad_to(n: int, mult: int) -> int:
@@ -90,7 +144,8 @@ def render_image_sharded(
     else:
         chunk_rays = _pad_to(min(chunk_pixels * spp, nray), ndev)
 
-    out = np.empty((nray, 3), np.float32)
+    nchunks = -(-nray // chunk_rays)
+    out = np.zeros((nchunks * chunk_rays, 3), np.float32)
     for start in range(0, nray, chunk_rays):
         ids = np.minimum(np.arange(start, start + chunk_rays), nray - 1)
         ids_sh = shard_rays(ids.astype(np.int32), mesh)
@@ -99,9 +154,14 @@ def render_image_sharded(
             max_depth=max_depth, max_stack=meta.max_stack, stream=stream,
             has_kd_textures=meta.has_kd_textures,
             has_ks_textures=meta.has_ks_textures)
-        stop = min(start + chunk_rays, nray)
-        out[start:stop] = np.asarray(rgb)[: stop - start]
+        # per-shard host copies: works when the mesh spans hosts and only
+        # this process's slabs are addressable (per-host tile ownership,
+        # SURVEY.md §2.3 — unowned rows stay zero on this process)
+        chunk_out = out[start:start + chunk_rays]
+        for shard in rgb.addressable_shards:
+            chunk_out[shard.index] = np.asarray(shard.data)
 
+    out = out[:nray]
     rgb_pix = out.reshape(npix, spp, 3).sum(axis=1) / np.float32(spp)
     img = np.ones((npix, 4), np.float32)
     img[:, :3] = rgb_pix

@@ -37,6 +37,15 @@ PRIM_TRIANGLE = 2
 DEFAULT_POINTLINE_RADIUS = 0.001  # src/scene.cpp:128
 
 
+class SceneLoadError(ValueError):
+    """Scene cannot be loaded (missing file, bad format, unknown extension).
+
+    The reference printf+exit(1)s on load failure (src/scene.cpp:119-122)
+    and throws on unknown extensions (src/ext/yocto_scn.cpp:1502); a library
+    raises instead, and the CLI converts this into a clean exit.
+    """
+
+
 # --------------------------------------------------------------------------
 # host-side containers
 # --------------------------------------------------------------------------
@@ -52,6 +61,10 @@ class HostShape:
     points: np.ndarray       # (P,)  i32
     lines: np.ndarray        # (L, 2) i32
     triangles: np.ndarray    # (T, 3) i32
+    # (V, 4) tangent space xyz=tangent w=bitangent sign (src/scene.h:36);
+    # empty until computed by finalize_scene for normal-mapped shapes
+    tangsp: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 4), np.float32))
 
     @property
     def num_prims(self) -> int:
@@ -153,19 +166,132 @@ def compute_smooth_normals(shp: HostShape) -> np.ndarray:
     return np.where(length > 0, norm / np.maximum(length, 1e-38), norm)
 
 
+def compute_tangent_space(shp: HostShape) -> np.ndarray:
+    """Area-weighted per-vertex tangent space (parity: src/scene.cpp:80-104).
+
+    Per triangle, tangent/bitangent from uv deltas
+    (triangle_tangents_fromuv, src/scene.cpp:57-78: fallback to the
+    canonical frame when the uv determinant is <= 0), accumulated with
+    triangle-area weights, then Gram-Schmidt-orthonormalized against the
+    vertex normal with the bitangent handedness in w.
+    """
+    nv = len(shp.pos)
+    tangu = np.zeros((nv, 3), np.float64)
+    tangv = np.zeros((nv, 3), np.float64)
+    tri = shp.triangles
+    if len(tri):
+        v0, v1, v2 = (shp.pos[tri[:, k]].astype(np.float64) for k in range(3))
+        uv0, uv1, uv2 = (shp.texcoord[tri[:, k]].astype(np.float64)
+                         for k in range(3))
+        p = v1 - v0
+        q = v2 - v0
+        s = np.stack([uv1[:, 0] - uv0[:, 0], uv2[:, 0] - uv0[:, 0]], -1)
+        t = np.stack([uv1[:, 1] - uv0[:, 1], uv2[:, 1] - uv0[:, 1]], -1)
+        div = s[:, 0] * t[:, 1] - s[:, 1] * t[:, 0]
+        ok = div > 0
+        divs = np.where(ok, div, 1.0)[:, None]
+        tu = np.where(ok[:, None],
+                      (t[:, 1:2] * p - t[:, 0:1] * q) / divs,
+                      np.array([1.0, 0.0, 0.0]))
+        tv = np.where(ok[:, None],
+                      (s[:, 0:1] * q - s[:, 1:2] * p) / divs,
+                      np.array([0.0, 1.0, 0.0]))
+        w = 0.5 * np.linalg.norm(np.cross(p, q), axis=-1)[:, None]
+        for k in range(3):
+            np.add.at(tangu, tri[:, k], tu * w)
+            np.add.at(tangv, tri[:, k], tv * w)
+    norm = shp.norm.astype(np.float64)
+    # orthonormalize(a, b) = normalize(a - b*dot(a,b)) (src/vmath.h)
+    tangu -= norm * np.sum(tangu * norm, axis=-1, keepdims=True)
+    ln = np.linalg.norm(tangu, axis=-1, keepdims=True)
+    tangu = np.where(ln > 0, tangu / np.maximum(ln, 1e-38), tangu)
+    sign = np.where(
+        np.sum(np.cross(norm, tangu) * tangv, axis=-1) < 0, -1.0, 1.0)
+    return np.concatenate([tangu, sign[:, None]], -1).astype(np.float32)
+
+
+def finalize_scene(host: HostScene) -> HostScene:
+    """Shared add_elements tail for every loader front-end.
+
+    Point/line radius defaults (src/ext/yocto_scn.cpp:1561-1567), smooth
+    normals + tangent space for instanced shapes (src/scene.cpp:217-222),
+    and a framing default camera when the file has none
+    (yocto_scn.cpp:1643-1668).
+    """
+    for shp in host.shapes:
+        if (len(shp.points) or len(shp.lines)) and len(shp.radius) == 0:
+            shp.radius = np.full(len(shp.pos), DEFAULT_POINTLINE_RADIUS,
+                                 np.float32)
+        elif len(shp.radius) == 0:
+            shp.radius = np.zeros(len(shp.pos), np.float32)
+
+    done = set()
+    for ist in host.instances:
+        if ist.shape in done:
+            continue
+        done.add(ist.shape)
+        shp = host.shapes[ist.shape]
+        if len(shp.norm) == 0:
+            shp.norm = compute_smooth_normals(shp)
+        has_norm_txt = (0 <= ist.material < len(host.materials)
+                        and host.materials[ist.material].norm_txt >= 0)
+        if len(shp.tangsp) == 0 and has_norm_txt and len(shp.texcoord):
+            shp.tangsp = compute_tangent_space(shp)
+
+    if not host.cameras:
+        host.cameras.append(_default_camera(host.shapes, host.instances))
+    return host
+
+
 # --------------------------------------------------------------------------
 # loading (src/scene.cpp:113-225)
 # --------------------------------------------------------------------------
 
 
 def load_scene(filename: str) -> HostScene:
+    """Load a scene, dispatching on extension like yscn::load_scene
+    (src/ext/yocto_scn.cpp:1497-1504): .obj -> the OBJ pipeline,
+    .gltf/.glb -> the glTF importer, anything else -> SceneLoadError.
+    """
+    if not os.path.exists(filename):
+        raise SceneLoadError(f"scene file not found: {filename}")
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == ".obj":
+        return _load_obj_scene(filename)
+    if ext in (".gltf", ".glb"):
+        from .io import gltf as gltf_mod
+
+        return gltf_mod.load_gltf(filename)
+    raise SceneLoadError(f"unsupported scene format: {ext or filename}")
+
+
+def save_scene(host: HostScene, filename: str) -> None:
+    """Save a scene, dispatching on extension (yscn::save_scene,
+    src/ext/yocto_scn.h:447-455): .obj -> OBJ/MTL writer, .gltf -> glTF
+    writer, anything else -> SceneLoadError."""
+    ext = os.path.splitext(filename)[1].lower()
+    if ext == ".obj":
+        from .io import objwriter
+
+        return objwriter.save_obj(host, filename)
+    if ext == ".gltf":
+        from .io import gltf as gltf_mod
+
+        return gltf_mod.save_gltf(host, filename)
+    raise SceneLoadError(f"unsupported scene format: {ext or filename}")
+
+
+def _load_obj_scene(filename: str) -> HostScene:
     """Load an OBJ scene with the reference app's load pipeline.
 
     Mirrors load_scene (src/scene.cpp:113-225): parse OBJ, add elements
     (instances for bare shapes, default camera, point/line radius 0.001),
     load textures (.hdr by extension else LDR), derive missing normals.
     """
-    obj = objparser.load_obj(filename)
+    try:
+        obj = objparser.load_obj(filename)
+    except OSError as e:
+        raise SceneLoadError(f"cannot load OBJ scene: {e}") from e
     dirname = os.path.dirname(filename)
 
     # materials: app copies ke/kd/ks/rs/kr + texture slots
@@ -198,18 +324,22 @@ def load_scene(filename: str) -> HostScene:
     textures = []
     for path in obj.textures:
         full = os.path.join(dirname, path)
-        if path.endswith(".hdr"):
-            textures.append(HostTexture(name=path,
-                                        hdr=image_mod.load_image4f(full)))
-        else:
-            textures.append(HostTexture(name=path,
-                                        ldr=image_mod.load_image4b(full)))
+        try:
+            if path.endswith(".hdr"):
+                textures.append(HostTexture(name=path,
+                                            hdr=image_mod.load_image4f(full)))
+            else:
+                textures.append(HostTexture(name=path,
+                                            ldr=image_mod.load_image4b(full)))
+        except OSError as e:
+            raise SceneLoadError(f"cannot load texture {path!r}: {e}") from e
 
     # shapes
     shapes = []
     shape_mat = []
     for s in obj.shapes:
-        assert s.pos is not None, f"shape {s.name} has no positions"
+        if s.pos is None:
+            raise SceneLoadError(f"shape {s.name!r} has no positions")
         nverts = len(s.pos)
         shapes.append(HostShape(
             name=s.name,
@@ -224,15 +354,6 @@ def load_scene(filename: str) -> HostScene:
             triangles=s.triangles,
         ))
         shape_mat.append(mat_index.get(s.matname, -1))
-
-    # add_elements: point/line radius default when radius absent
-    # (src/ext/yocto_scn.cpp:1561-1567 via src/scene.cpp:128)
-    for shp in shapes:
-        if (len(shp.points) or len(shp.lines)) and len(shp.radius) == 0:
-            shp.radius = np.full(len(shp.pos), DEFAULT_POINTLINE_RADIUS,
-                                 np.float32)
-        elif len(shp.radius) == 0:
-            shp.radius = np.zeros(len(shp.pos), np.float32)
 
     # instances: from `i` lines, else one identity instance per shape
     # (src/ext/yocto_scn.cpp:1579-1587)
@@ -257,17 +378,6 @@ def load_scene(filename: str) -> HostScene:
                 material=shape_mat[sid],
             ))
 
-    # derive missing normals per instanced shape (src/scene.cpp:217-222)
-    done = set()
-    for ist in instances:
-        if ist.shape in done:
-            continue
-        done.add(ist.shape)
-        shp = shapes[ist.shape]
-        if len(shp.norm) == 0:
-            shp.norm = compute_smooth_normals(shp)
-
-    # cameras (+ default camera when none, yscn yocto_scn.cpp:1643-1668)
     cameras = []
     for c in obj.cameras:
         cameras.append(HostCamera(
@@ -277,8 +387,6 @@ def load_scene(filename: str) -> HostScene:
             yfov=c.yfov, aspect=c.aspect,
             aperture=c.aperture, focus=c.focus,
         ))
-    if not cameras:
-        cameras.append(_default_camera(shapes, instances))
 
     environments = []
     for e in obj.environments:
@@ -290,11 +398,11 @@ def load_scene(filename: str) -> HostScene:
             o=e.frame[3].astype(np.float32), ke=ke, ke_txt=ke_txt,
         ))
 
-    return HostScene(
+    return finalize_scene(HostScene(
         cameras=cameras, shapes=shapes, textures=textures,
         materials=materials, instances=instances,
         environments=environments, dirname=dirname,
-    )
+    ))
 
 
 def _default_camera(shapes: list, instances: list) -> HostCamera:
