@@ -42,8 +42,7 @@ def main():
 
     C = stream.v0x.shape[0]
     I = stream.inst_id.shape[0]
-    print(f"scene: {C} clusters, {I} instances, "
-          f"{stream.sb_min.shape[0]} superclusters", flush=True)
+    print(f"scene: {C} clusters, {I} instances", flush=True)
 
     ids = jnp.arange(N, dtype=jnp.int32)
     amb = jnp.asarray([0.1, 0.1, 0.1], jnp.float32)
