@@ -40,6 +40,37 @@ def test_cli_end_to_end(tmp_path):
     assert img[..., :3].max() > 0
 
 
+def test_cli_load_error_clean_exit(tmp_path, capsys):
+    # missing file / unknown extension -> message + exit 1, no traceback
+    # (reference printf+exit(1)s, src/scene.cpp:119-122)
+    rc = cli.main(["-r", "8", os.path.join(tmp_path, "nope.obj")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "Traceback" not in err
+
+    bad = os.path.join(tmp_path, "scene.xyz")
+    open(bad, "w").close()
+    rc = cli.main(["-r", "8", bad])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_config_from_args_roundtrip():
+    # RenderConfig is the object the pipeline consumes; every CLI knob
+    # must land in it
+    args = cli.build_parser().parse_args(
+        ["-r", "96", "-s", "3", "-a", "0.2", "-o", "x.hdr",
+         "--camera", "1", "--max-depth", "5", "--chunk-pixels", "256",
+         "--intersector", "bvh", "--checkpoint", "c.npz", "in.obj"])
+    cfg = cli.config_from_args(args)
+    assert cfg.resolution == 96 and cfg.samples == 3
+    assert cfg.ambient == pytest.approx(0.2)
+    assert (cfg.output, cfg.camera, cfg.max_depth) == ("x.hdr", 1, 5)
+    assert (cfg.chunk_pixels, cfg.intersector, cfg.checkpoint) == (
+        256, "bvh", "c.npz")
+    assert cfg.to_dict()["resolution"] == 96
+
+
 def test_checkpoint_resume(tmp_path):
     host = testscenes.make_grad_scene()
     dev, meta = scene_lib.build_device_scene(host)

@@ -43,9 +43,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+def config_from_args(args) -> "RenderConfig":
+    """Parsed argparse namespace -> the RenderConfig pytree the render
+    pipeline consumes (the reference's five knobs + TPU execution knobs)."""
+    from .utils import RenderConfig
 
+    return RenderConfig(
+        resolution=args.resolution, samples=args.samples,
+        ambient=args.ambient, output=args.output, camera=args.camera,
+        max_depth=args.max_depth, chunk_pixels=args.chunk_pixels,
+        sharded=args.sharded, checkpoint=args.checkpoint,
+        intersector=args.intersector)
+
+
+def run(scenein: str, cfg: "RenderConfig") -> int:
+    """Load + render + save under one config. Raises SceneLoadError."""
     from . import image as image_mod
     from . import scene as scene_lib
     from .render import renderer
@@ -53,13 +65,13 @@ def main(argv=None) -> int:
 
     log = get_logger()
 
-    with log_phase(f"loading scene {args.scenein}"):
-        host = scene_lib.load_scene(args.scenein)
+    with log_phase(f"loading scene {scenein}"):
+        host = scene_lib.load_scene(scenein)
 
     with log_phase("building bvh + device scene"):
-        dscene, meta = scene_lib.build_device_scene(host, camera=args.camera)
+        dscene, meta = scene_lib.build_device_scene(host, camera=cfg.camera)
         stream = None
-        if args.intersector == "stream":
+        if cfg.intersector == "stream":
             import jax
             import jax.numpy as jnp
 
@@ -69,34 +81,47 @@ def main(argv=None) -> int:
             stream = jax.tree_util.tree_map(jnp.asarray, stream)
         dscene = scene_lib.to_jax(dscene)
 
-    cam = host.cameras[args.camera]
-    width = renderer.image_width(cam.aspect, args.resolution)
-    height = args.resolution
-    spp = args.samples * args.samples
+    cam = host.cameras[cfg.camera]
+    width = renderer.image_width(cam.aspect, cfg.resolution)
+    height = cfg.resolution
+    spp = cfg.samples * cfg.samples
     log.info("scene: %d instances, %d prims, %d bvh nodes, %d lights",
              meta.num_instances, meta.num_prims, meta.num_nodes,
              meta.num_lights)
 
     with log_phase(f"rendering {width}x{height} @ {spp} spp",
                    rays=width * height * spp):
-        if args.sharded:
+        if cfg.sharded:
             from . import parallel
 
             mesh = parallel.make_ray_mesh()
             img = parallel.render_image_sharded(
-                dscene, meta, mesh, width, height, args.samples,
-                ambient=args.ambient, max_depth=args.max_depth,
-                chunk_pixels=args.chunk_pixels, stream=stream)
+                dscene, meta, mesh, width, height, cfg.samples,
+                ambient=cfg.ambient, max_depth=cfg.max_depth,
+                chunk_pixels=cfg.chunk_pixels, stream=stream)
         else:
             img = renderer.render_image(
-                dscene, meta, width, height, args.samples,
-                ambient=args.ambient, max_depth=args.max_depth,
-                chunk_pixels=args.chunk_pixels,
-                checkpoint=args.checkpoint or None, stream=stream)
+                dscene, meta, width, height, cfg.samples,
+                ambient=cfg.ambient, max_depth=cfg.max_depth,
+                chunk_pixels=cfg.chunk_pixels,
+                checkpoint=cfg.checkpoint or None, stream=stream)
 
-    with log_phase(f"saving image {args.output}"):
-        image_mod.save_hdr_or_ldr(args.output, img)
+    with log_phase(f"saving image {cfg.output}"):
+        image_mod.save_hdr_or_ldr(cfg.output, img)
     return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .scene import SceneLoadError
+
+    try:
+        return run(args.scenein, config_from_args(args))
+    except SceneLoadError as e:
+        # clean exit, mirroring the reference's printf+exit(1) on load
+        # failure (src/scene.cpp:119-122) — no traceback for a user error
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

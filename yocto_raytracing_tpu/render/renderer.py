@@ -62,6 +62,44 @@ def _render_chunk(scene, ids, ambient, width, height, samples, spp,
     return rgb.reshape(-1, spp, 3).sum(axis=1)
 
 
+@partial(jax.jit, static_argnames=("chunk_pixels", "n_chunks", "spp",
+                                   "max_depth", "max_stack",
+                                   "has_kd_textures", "has_ks_textures"))
+def _render_chunks_fused(scene, ambient, width, height, samples,
+                         chunk_pixels, n_chunks, spp, max_depth, max_stack,
+                         stream=None, has_kd_textures=True,
+                         has_ks_textures=True):
+    """Whole-frame render in ONE dispatch: ``lax.map`` over chunk starts,
+    ray ids generated on device.
+
+    Over a tunnel-attached TPU each per-chunk dispatch pays an RPC round
+    trip plus a 1 MB ray-id h2d upload; at the bench setting that overhead
+    was ~2/3 of wall-clock (profile_stream.py, r3). Here the host sends
+    only scalars and receives one (n_chunks*chunk_pixels, 3) buffer.
+    Tail lanes (ids past the last pixel) render a clamped duplicate pixel
+    that the caller slices off.
+
+    Contract vs the chunked path: same f32 ops in the same order, but XLA
+    may contract a*b+c into fma() differently across the lax.map fusion
+    boundary — measured <= ~1.4e-6 absolute on TPU (ULP-level on spp sums,
+    bit-equal on CPU; invisible after u8 tonemap). Checkpointed renders
+    therefore always take the chunked path, so truncate-and-resume stays
+    BIT-identical within that mode (tests/test_cli.py).
+    """
+    lane = jnp.arange(chunk_pixels * spp, dtype=jnp.int32)
+    last = jnp.int32(width * height * spp - 1)
+
+    def one_chunk(c):
+        ids = jnp.minimum(c * (chunk_pixels * spp) + lane, last)
+        return _render_chunk(
+            scene, ids, ambient, width, height, samples, spp=spp,
+            max_depth=max_depth, max_stack=max_stack, stream=stream,
+            has_kd_textures=has_kd_textures, has_ks_textures=has_ks_textures)
+
+    sums = jax.lax.map(one_chunk, jnp.arange(n_chunks, dtype=jnp.int32))
+    return sums.reshape(-1, 3)
+
+
 @partial(jax.jit, static_argnames=("max_depth", "max_stack",
                                    "differentiable", "has_kd_textures",
                                    "has_ks_textures"))
@@ -192,6 +230,21 @@ def render_image(
 
     cfg_key = np.asarray(
         [width, height, samples, max_depth, chunk_pixels], np.int64)
+
+    if not checkpoint:
+        # no per-chunk host sync needed: fused single-dispatch path
+        n_chunks = -(-npix // chunk_pixels)
+        sums = _render_chunks_fused(
+            scene, amb, width, height, samples,
+            chunk_pixels=chunk_pixels, n_chunks=n_chunks, spp=spp,
+            max_depth=max_depth, max_stack=meta.max_stack, stream=stream,
+            has_kd_textures=meta.has_kd_textures,
+            has_ks_textures=meta.has_ks_textures)
+        out = np.asarray(sums)[:npix]
+        img = np.ones((npix, 4), np.float32)
+        img[:, :3] = out / np.float32(spp)
+        return img.reshape(height, width, 4)
+
     out = np.empty((npix, 3), np.float32)
     resume_from = 0
     if checkpoint:

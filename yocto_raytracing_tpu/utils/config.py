@@ -21,6 +21,7 @@ class RenderConfig:
     chunk_pixels: int = 1 << 15  # rays per compiled chunk
     sharded: bool = False       # shard rays over all local devices
     checkpoint: str = ""        # accumulator checkpoint path ("" = off)
+    intersector: str = "stream"  # "stream" fast path / "bvh" oracle
 
     def to_dict(self):
         return asdict(self)
