@@ -1,18 +1,22 @@
-"""Benchmark: forward render throughput on the refl scene (north star).
+"""Benchmark: the north-star metrics (BASELINE.md) on the real chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints THREE JSON lines (driver records the tail line as the headline):
+  1. refl fwd+bwd   — train_step (render + MSE + reverse-mode grads) on the
+                      refl scene, BASELINE.md:26 "Mrays/s/chip (fwd+bwd)".
+  2. instance10000  — config 5 forward: 1024p @ 64 spp, 10,004 instances,
+                      two-level culling through the stream scan.
+  3. refl fwd       — config 3 forward (headline, LAST line): refl at 512p
+                      (910x512), 16 spp, depth-4 mirror recursion. The
+                      render is measured scene->PNG-ready u8 (device
+                      tonemap), matching the reference binary whose timed
+                      run also tonemaps; its wall-clock additionally
+                      includes scene load + BVH build + PNG encode, which
+                      ours excludes — noted in BASELINE_MEASURED.json.
 
-Config matches BASELINE.md config 3: refl_pointlight at 512p (910x512),
-16 spp (-s 4), recursive specular with depth-4 termination. The metric is
-primary rays per second (pixels * spp / wall-clock); each primary ray also
-carries its shadow rays and mirror bounces, exactly like the reference's
-per-pixel loop, so the comparison is work-for-work.
-
-Baseline: the reference C++ binary (built -O3, single thread — its render
-loop has no threading, src/raytrace.cpp:228-251) on this machine's CPU,
-same scene and settings. See REF_BASELINE_MRAYS below for the measured
-number and provenance.
+Baselines: the reference C++ binary (g++ -O3, single thread — its render
+loop has no threading, src/raytrace.cpp:228-251) timed on THIS machine by
+scripts/measure_reference.py, committed as BASELINE_MEASURED.json and read
+here. Fallback constants are that file's committed values.
 """
 
 import json
@@ -20,61 +24,137 @@ import os
 import sys
 import time
 
-# Reference binary `raytrace -r 512 -s 4` on refl_pointlight: measured on
-# this container's CPU (g++ 12 -O3 build of /root/reference, wall-clock,
-# best of 2, 2026-08-18). 910*512*16 primary rays / seconds.
-REF_BASELINE_SECONDS = 20.0  # updated by measurement; see git history
-REF_BASELINE_MRAYS = (910 * 512 * 16) / REF_BASELINE_SECONDS / 1e6
+HERE = os.path.dirname(os.path.abspath(__file__))
+SCENES = "/root/reference/in"
+REFL = os.path.join(SCENES, "refl_pointlight/refl_pointlight.obj")
+INST = os.path.join(SCENES,
+                    "instance10000_pointlight/instance10000_pointlight.obj")
 
-SCENE = "/root/reference/in/refl_pointlight/refl_pointlight.obj"
-RESOLUTION = 512
-SAMPLES = 4          # grid side; spp = 16
-MAX_DEPTH = 4
-CHUNK_PIXELS = 1 << 14  # x16 spp = 262144 rays/chunk (throughput knee)
+# fallbacks if BASELINE_MEASURED.json is absent (its committed values)
+FALLBACK_BASELINE = {
+    "refl_512p_16spp": 0.373,           # Mrays/s
+    "instance10000_1024p_64spp": 0.25,  # Mrays/s (placeholder till measured)
+}
+
+
+def load_baselines():
+    path = os.path.join(HERE, "BASELINE_MEASURED.json")
+    out = dict(FALLBACK_BASELINE)
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        for name, rec in data.get("configs", {}).items():
+            out[name] = float(rec["mrays_per_s"])
+    return out
+
+
+def best_of(fn, reps=2):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def emit(metric, mrays, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline, 3) if baseline else None,
+    }), flush=True)
+
+
+def build(path, fallback=None):
+    import jax
+    import jax.numpy as jnp
+
+    from yocto_raytracing_tpu import scene as scene_lib
+    from yocto_raytracing_tpu.ops import stream as stream_mod
+
+    if os.path.exists(path):
+        host = scene_lib.load_scene(path)
+    else:
+        from yocto_raytracing_tpu import testscenes
+
+        host = fallback() if fallback else testscenes.make_hair_scene(256)
+    dscene, meta = scene_lib.build_device_scene(host)
+    stream = stream_mod.build_stream_scene(host, dscene, meta)
+    stream = jax.tree_util.tree_map(jnp.asarray, stream)
+    return scene_lib.to_jax(dscene), meta, stream, host
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from yocto_raytracing_tpu import scene as scene_lib
-    from yocto_raytracing_tpu.ops import stream as stream_mod
+    from yocto_raytracing_tpu.parallel import mesh as mesh_mod
     from yocto_raytracing_tpu.render import renderer
 
-    if os.path.exists(SCENE):
-        host = scene_lib.load_scene(SCENE)
-    else:  # bench machine without the reference mount: procedural stand-in
+    baselines = load_baselines()
+
+    # ---- 1. refl fwd+bwd (train_step on one bench-sized ray batch) ----
+    dscene, meta, stream, host = build(REFL)
+    cam = host.cameras[0]
+    width = renderer.image_width(cam.aspect, 512)
+    height = 512
+    n = 1 << 18  # 262144 rays/step, the fused path's chunk size
+    ids = jnp.arange(n, dtype=jnp.int32)
+    amb = jnp.asarray([0.1] * 3, jnp.float32)
+    target = jnp.zeros((n, 3), jnp.float32)
+    kw = dict(width=width, height=height, samples=4, max_depth=4,
+              max_stack=meta.max_stack, stream=stream)
+
+    def step():
+        out, loss = mesh_mod.train_step(dscene, ids, target, amb,
+                                        jnp.float32(0.0), **kw)
+        jax.block_until_ready(loss)
+
+    step()  # compile
+    dt = best_of(step)
+    # fwd+bwd has no reference analogue (the C++ has no gradients); report
+    # vs the same scene's forward baseline for scale
+    emit("refl_512p_16spp_fwd_bwd", n / dt / 1e6,
+         baselines["refl_512p_16spp"])
+
+    # ---- 2. instance10000 forward (config 5) ----
+    def fallback_inst():
         from yocto_raytracing_tpu import testscenes
 
-        host = testscenes.make_hair_scene(n_strands=256)
-    dscene, meta = scene_lib.build_device_scene(host)
-    stream = stream_mod.build_stream_scene(host, dscene, meta)
-    stream = jax.tree_util.tree_map(jnp.asarray, stream)
-    dscene = scene_lib.to_jax(dscene)
-    cam = host.cameras[0]
-    width = renderer.image_width(cam.aspect, RESOLUTION)
-    height = RESOLUTION
+        return testscenes.make_random_scene(seed=0, n_instances=64)
 
-    kwargs = dict(samples=SAMPLES, ambient=0.1, max_depth=MAX_DEPTH,
-                  chunk_pixels=CHUNK_PIXELS, stream=stream)
-
-    # warmup: compile the chunked executable
-    renderer.render_image(dscene, meta, width, height, **kwargs)
-
+    dscene_i, meta_i, stream_i, host_i = build(INST, fallback_inst)
+    cam_i = host_i.cameras[0]
+    width_i = renderer.image_width(cam_i.aspect, 1024)
+    kwi = dict(samples=8, ambient=0.1, max_depth=4,
+               chunk_pixels=1 << 14, stream=stream_i, ldr=True)
+    renderer.render_image(dscene_i, meta_i, width_i, 1024, **kwi)  # compile
     t0 = time.perf_counter()
-    img = renderer.render_image(dscene, meta, width, height, **kwargs)
-    dt = time.perf_counter() - t0
+    img_i = renderer.render_image(dscene_i, meta_i, width_i, 1024, **kwi)
+    dt_i = time.perf_counter() - t0
+    rays_i = width_i * 1024 * 64
+    emit("instance10000_1024p_64spp_fwd", rays_i / dt_i / 1e6,
+         baselines.get("instance10000_1024p_64spp"))
+    assert img_i.shape == (1024, width_i, 4) and int(img_i[..., :3].max()) > 0
 
-    rays = width * height * SAMPLES * SAMPLES
-    mrays = rays / dt / 1e6
-    print(json.dumps({
-        "metric": "refl_512p_16spp_fwd",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / REF_BASELINE_MRAYS, 3),
-    }))
-    # keep the result alive so XLA can't dead-code the render
-    assert img.shape == (height, width, 4) and float(img.sum()) > 0
+    # ---- 3. refl fwd (headline; LAST line for the driver) ----
+    kwf = dict(samples=4, ambient=0.1, max_depth=4,
+               chunk_pixels=1 << 14, stream=stream, ldr=True)
+    renderer.render_image(dscene, meta, width, height, **kwf)  # compile
+    rays = width * height * 16
+
+    img_holder = {}
+
+    def frame():
+        img_holder["img"] = renderer.render_image(dscene, meta, width,
+                                                  height, **kwf)
+
+    dt_f = best_of(frame)
+    emit("refl_512p_16spp_fwd", rays / dt_f / 1e6,
+         baselines["refl_512p_16spp"])
+    img = img_holder["img"]
+    assert img.shape == (height, width, 4) and int(img[..., :3].max()) > 0
     return 0
 
 

@@ -164,7 +164,7 @@ struct Shape {
     std::vector<float> pos, texcoord, norm, radius;  // empty = absent
     bool has_pos = false, has_texcoord = false, has_norm = false,
          has_radius = false;
-    std::vector<int32_t> triangles, lines, points;
+    std::vector<int32_t> triangles, lines, points, tetrahedra;
 };
 
 struct ObjScene {
@@ -247,7 +247,8 @@ ObjScene* parse_obj(const char* path, int flip_texcoord) {
             radius.push_back(v[0]);
         } else if (klen == 2 && t[0] == 'v' && t[1] == 'c') {
             num_colors++;
-        } else if (klen == 1 && (t[0] == 'f' || t[0] == 'l' || t[0] == 'p')) {
+        } else if (klen == 1 && (t[0] == 'f' || t[0] == 'l' || t[0] == 'p' ||
+                                 t[0] == 't')) {
             int32_t sizes[5] = {int32_t(pos.size() / 3),
                                 int32_t(texcoord.size() / 2),
                                 int32_t(norm.size() / 3), num_colors,
@@ -366,6 +367,11 @@ ObjScene* parse_obj(const char* path, int flip_texcoord) {
                         shp.lines.push_back(ids[i]);
                         shp.lines.push_back(ids[i + 1]);
                     }
+                } else if (e.type == 't') {
+                    // tetra extension (yocto_obj.cpp:436-441); 4-vert only
+                    if (e.size == 4)
+                        shp.tetrahedra.insert(shp.tetrahedra.end(), ids,
+                                              ids + 4);
                 } else {
                     shp.points.insert(shp.points.end(), ids, ids + e.size);
                 }
@@ -454,7 +460,7 @@ int32_t yrt_obj_num_objects(void* h) {
 }
 
 // info: [nverts, ntris, nlines, npoints, has_pos, has_tc, has_norm,
-//        has_rad, name_len, matname_len, object_id]
+//        has_rad, name_len, matname_len, object_id, ntets]
 void yrt_obj_shape_info(void* h, int32_t i, int32_t* info) {
     const Shape& s = static_cast<ObjScene*>(h)->shapes[size_t(i)];
     info[0] = s.nverts;
@@ -468,6 +474,7 @@ void yrt_obj_shape_info(void* h, int32_t i, int32_t* info) {
     info[8] = int32_t(s.name.size());
     info[9] = int32_t(s.matname.size());
     info[10] = s.object_id;
+    info[11] = int32_t(s.tetrahedra.size() / 4);
 }
 
 void yrt_obj_shape_names(void* h, int32_t i, char* name, char* matname) {
@@ -478,7 +485,7 @@ void yrt_obj_shape_names(void* h, int32_t i, char* name, char* matname) {
 
 void yrt_obj_shape_data(void* h, int32_t i, float* pos, float* tc,
                         float* norm, float* rad, int32_t* tris,
-                        int32_t* lines, int32_t* points) {
+                        int32_t* lines, int32_t* points, int32_t* tets) {
     const Shape& s = static_cast<ObjScene*>(h)->shapes[size_t(i)];
     if (pos && s.has_pos) std::memcpy(pos, s.pos.data(), s.pos.size() * 4);
     if (tc && s.has_texcoord)
@@ -490,6 +497,8 @@ void yrt_obj_shape_data(void* h, int32_t i, float* pos, float* tc,
     if (tris) std::memcpy(tris, s.triangles.data(), s.triangles.size() * 4);
     if (lines) std::memcpy(lines, s.lines.data(), s.lines.size() * 4);
     if (points) std::memcpy(points, s.points.data(), s.points.size() * 4);
+    if (tets)
+        std::memcpy(tets, s.tetrahedra.data(), s.tetrahedra.size() * 4);
 }
 
 int32_t yrt_obj_object_name_len(void* h, int32_t i) {

@@ -44,6 +44,20 @@ def _is_elf(path: str) -> bool:
         return False
 
 
+def patch_yocto_math(src_header: str, dst_header: str) -> None:
+    """Copy yocto_math.h with the constexpr-reinterpret_cast members (ill-
+    formed for modern g++) relaxed to inline. Reused by the procedural-
+    image oracle test (tests/test_procedural.py)."""
+    lines = open(src_header).read().split("\n")
+    for ln in (1880, 1882, 1946, 1948):
+        lines[ln - 1] = lines[ln - 1].replace("constexpr", "inline", 1)
+    for ln in (2140, 2146, 2797, 2803, 2809, 2815, 2821, 2828, 2835, 6138):
+        if lines[ln - 1].startswith("constexpr inline"):
+            lines[ln - 1] = lines[ln - 1].replace("constexpr inline",
+                                                  "inline", 1)
+    open(dst_header, "w").write("\n".join(lines))
+
+
 def build_reference() -> None:
     if _is_elf(BIN):
         return
@@ -51,15 +65,7 @@ def build_reference() -> None:
         shutil.rmtree(SRC)
     shutil.copytree(REF, SRC)
     ym = os.path.join(SRC, "src/ext/yocto_math.h")
-    lines = open(ym).read().split("\n")
-    # constexpr members that reinterpret_cast (ill-formed for modern g++)
-    for ln in (1880, 1882, 1946, 1948):
-        lines[ln - 1] = lines[ln - 1].replace("constexpr", "inline", 1)
-    for ln in (2140, 2146, 2797, 2803, 2809, 2815, 2821, 2828, 2835, 6138):
-        if lines[ln - 1].startswith("constexpr inline"):
-            lines[ln - 1] = lines[ln - 1].replace("constexpr inline",
-                                                  "inline", 1)
-    open(ym, "w").write("\n".join(lines))
+    patch_yocto_math(ym, ym)
     scn = os.path.join(SRC, "src/ext/yocto_scn.h")
     txt = open(scn).read().split("\n")
     txt.insert(1, "#include <cstring>")
@@ -77,7 +83,7 @@ def build_reference() -> None:
     assert _is_elf(BIN), "reference build failed"
 
 
-def time_config(scene: str, res: int, s: int, reps: int = 2) -> float:
+def time_config(scene: str, res: int, s: int, reps: int = 1) -> float:
     obj = os.path.join(SRC, "in", scene, f"{scene}.obj")
     best = float("inf")
     for _ in range(reps):
@@ -97,8 +103,27 @@ def main() -> int:
 
     build_reference()
     results = {}
+    if os.path.exists(OUT):  # resume: keep configs measured by a prior run
+        with open(OUT) as f:
+            results = json.load(f).get("configs", {})
+
+    def write():
+        payload = {
+            "binary": "g++ -O3 single-thread build of /root/reference "
+                      "(src/raytrace.cpp:228-251 render loop has no "
+                      "threading)",
+            "machine": os.uname().nodename,
+            "measured_at": time.strftime("%Y-%m-%d"),
+            "configs": results,
+        }
+        with open(OUT, "w") as f:
+            json.dump(payload, f, indent=2)
+            f.write("\n")
+
     for name, scene, res, s in CONFIGS:
         if args.skip_instance and "instance" in name:
+            continue
+        if name in results:
             continue
         # width = round(aspect * res); all benchmark cameras are 16:9
         width = int(16 / 9 * res + 0.5)
@@ -113,16 +138,7 @@ def main() -> int:
         }
         print(f"{name}: {secs:.2f}s = {rays / secs / 1e6:.3f} Mrays/s",
               flush=True)
-    payload = {
-        "binary": "g++ -O3 single-thread build of /root/reference "
-                  "(src/raytrace.cpp:228-251 render loop has no threading)",
-        "machine": os.uname().nodename,
-        "measured_at": time.strftime("%Y-%m-%d"),
-        "configs": results,
-    }
-    with open(OUT, "w") as f:
-        json.dump(payload, f, indent=2)
-        f.write("\n")
+        write()  # incremental: a killed run keeps completed configs
     print(f"wrote {OUT}")
     return 0
 

@@ -1,0 +1,85 @@
+"""init_distributed logic: env-var plumbing, auto-detection, idempotence.
+
+The real multi-process path cannot run in a single-process suite, so
+``jax.distributed.initialize`` is mocked and the decision logic —
+explicit args > env vars > TPU-pod auto-detection > single-host no-op
+(parallel/mesh.py:39-76) — is exercised against it.
+"""
+
+import numpy as np
+import pytest
+
+from yocto_raytracing_tpu.parallel import mesh as mesh_mod
+
+
+@pytest.fixture(autouse=True)
+def reset_state(monkeypatch):
+    monkeypatch.setattr(mesh_mod, "_distributed_initialized", False)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    yield
+
+
+@pytest.fixture
+def init_spy(monkeypatch):
+    calls = []
+
+    def fake_initialize(coordinator_address=None, num_processes=None,
+                        process_id=None):
+        calls.append(dict(coordinator_address=coordinator_address,
+                          num_processes=num_processes,
+                          process_id=process_id))
+
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    return calls
+
+
+def test_single_host_is_noop(init_spy):
+    pid = mesh_mod.init_distributed()
+    assert pid == 0
+    assert init_spy == []          # no coordinator, no pod metadata
+    assert not mesh_mod._distributed_initialized
+
+
+def test_explicit_args(init_spy):
+    mesh_mod.init_distributed("10.0.0.1:1234", 4, 2)
+    assert init_spy == [dict(coordinator_address="10.0.0.1:1234",
+                             num_processes=4, process_id=2)]
+    assert mesh_mod._distributed_initialized
+
+
+def test_env_var_fallback(init_spy, monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "coord:9999")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "8")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    mesh_mod.init_distributed()
+    assert init_spy == [dict(coordinator_address="coord:9999",
+                             num_processes=8, process_id=3)]
+
+
+def test_tpu_pod_autodetect(init_spy, monkeypatch):
+    # pod metadata present, no explicit config: jax auto-detects (all None)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    mesh_mod.init_distributed()
+    assert init_spy == [dict(coordinator_address=None, num_processes=None,
+                             process_id=None)]
+
+
+def test_idempotent(init_spy):
+    mesh_mod.init_distributed("c:1", 2, 0)
+    mesh_mod.init_distributed("c:1", 2, 0)
+    assert len(init_spy) == 1      # second call is a no-op
+
+
+def test_shard_rays_round_trip():
+    """shard_rays covers every id exactly once across shards."""
+    mesh = mesh_mod.make_ray_mesh()
+    n = mesh.devices.size * 6
+    ids = np.arange(n, dtype=np.int32)
+    arr = mesh_mod.shard_rays(ids, mesh)
+    got = np.sort(np.concatenate(
+        [np.asarray(s.data).ravel() for s in arr.addressable_shards]))
+    np.testing.assert_array_equal(got, ids)

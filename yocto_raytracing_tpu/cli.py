@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="stream",
                    help="stream: cluster-scan fast path (default); "
                         "bvh: stackless traversal oracle (bit-equal)")
+    p.add_argument("--stochastic", action="store_true",
+                   help="jittered AA + thin-lens DOF when the camera has "
+                        "aperture > 0 (e.g. the simple scene's cam_dof, "
+                        "select with --camera 1)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="jax.random seed for --stochastic")
     return p
 
 
@@ -53,7 +59,8 @@ def config_from_args(args) -> "RenderConfig":
         ambient=args.ambient, output=args.output, camera=args.camera,
         max_depth=args.max_depth, chunk_pixels=args.chunk_pixels,
         sharded=args.sharded, checkpoint=args.checkpoint,
-        intersector=args.intersector)
+        intersector=args.intersector, stochastic=args.stochastic,
+        seed=args.seed)
 
 
 def run(scenein: str, cfg: "RenderConfig") -> int:
@@ -104,7 +111,8 @@ def run(scenein: str, cfg: "RenderConfig") -> int:
                 dscene, meta, width, height, cfg.samples,
                 ambient=cfg.ambient, max_depth=cfg.max_depth,
                 chunk_pixels=cfg.chunk_pixels,
-                checkpoint=cfg.checkpoint or None, stream=stream)
+                checkpoint=cfg.checkpoint or None, stream=stream,
+                stochastic=cfg.stochastic, seed=cfg.seed)
 
     with log_phase(f"saving image {cfg.output}"):
         image_mod.save_hdr_or_ldr(cfg.output, img)

@@ -308,11 +308,17 @@ def _load_image(g, buffers, dirname, img: dict):
 # --------------------------------------------------------------------------
 
 
-def load_gltf(filename: str):
+def load_gltf(filename: str, return_graph: bool = False):
     """Load a .gltf/.glb file into a ``HostScene``.
 
     Equivalent of load_gltf_scene + gltf_to_scene + the app-layer
     conversion (yocto_scn.cpp:1085-1099, 697-1082; src/scene.cpp:113-225).
+
+    ``return_graph=True`` additionally returns a :class:`GltfGraph` — the
+    retained node hierarchy plus animation channels, skins and morph
+    targets (the reference's ygltf scene_group animation layer,
+    src/ext/yocto_gltf.h:528-636) — for keyframe playback via
+    :func:`update_animated_transforms` / :func:`apply_graph_transforms`.
     """
     from .. import scene as scene_mod
 
@@ -398,6 +404,8 @@ def load_gltf(filename: str):
     # meshes -> shapes; remember (mesh id -> [(shape id, material id)])
     shapes = []
     mesh_shapes = []
+    shape_morphs = {}      # shape id -> [morph target dicts] (gltf.h:609-619)
+    shape_skin_attrs = {}  # shape id -> (joints (V,4) i32, weights (V,4) f32)
     for gmesh in g.get("meshes", []):
         ids = []
         for gprim in gmesh.get("primitives", []):
@@ -422,8 +430,33 @@ def load_gltf(filename: str):
                 name=gmesh.get("name", f"mesh{len(mesh_shapes)}"),
                 pos=pos, norm=norm, texcoord=texcoord, radius=radius,
                 points=pts, lines=lins, triangles=tris)
-            ids.append((len(shapes), gprim.get("material", -1)))
+            sid = len(shapes)
+            ids.append((sid, gprim.get("material", -1)))
             shapes.append(shp)
+            if return_graph:
+                # morph targets (glTF targets -> ygltf shape_morph,
+                # yocto_gltf.h:609-619, conversion yocto_gltf.cpp:2995-3005)
+                targets = []
+                base_weights = gmesh.get("weights", [])
+                for ti, tgt in enumerate(gprim.get("targets", [])):
+                    targets.append(dict(
+                        pos=(_accessor_f32(g, buffers, tgt["POSITION"], 3)
+                             if "POSITION" in tgt else None),
+                        norm=(_accessor_f32(g, buffers, tgt["NORMAL"], 3)
+                              if "NORMAL" in tgt else None),
+                        tangsp=(_accessor_f32(g, buffers, tgt["TANGENT"], 3)
+                                if "TANGENT" in tgt else None),
+                        weight=(float(base_weights[ti])
+                                if ti < len(base_weights) else 0.0)))
+                if targets:
+                    shape_morphs[sid] = targets
+                # skinning vertex attributes (JOINTS_0 / WEIGHTS_0)
+                if "JOINTS_0" in attrs and "WEIGHTS_0" in attrs:
+                    joints = _accessor(g, buffers,
+                                       attrs["JOINTS_0"]).astype(np.int32)
+                    weights = _accessor_f32(g, buffers, attrs["WEIGHTS_0"], 4)
+                    shape_skin_attrs[sid] = (joints.reshape(nv, -1)[:, :4],
+                                             weights)
         mesh_shapes.append(ids)
 
     # cameras (yocto_scn.cpp:1036-1058); glTF has no aperture/focus ->
@@ -453,6 +486,8 @@ def load_gltf(filename: str):
     nodes = g.get("nodes", [])
     cameras = []
     instances = []
+    instance_nodes = []   # node id per created instance (graph playback)
+    camera_nodes = []
 
     def visit(nid: int, parent: np.ndarray):
         node = nodes[nid]
@@ -460,12 +495,14 @@ def load_gltf(filename: str):
         axes, o = _to_frame(xform)
         if "camera" in node and 0 <= node["camera"] < len(proto_cameras):
             pc = proto_cameras[node["camera"]]
+            camera_nodes.append(nid)
             cameras.append(scene_mod.HostCamera(
                 name=pc["name"], axes=axes, o=o, yfov=pc["yfov"],
                 aspect=pc["aspect"], aperture=pc["aperture"],
                 focus=pc["focus"]))
         if "mesh" in node and 0 <= node["mesh"] < len(mesh_shapes):
             for sid, mid in mesh_shapes[node["mesh"]]:
+                instance_nodes.append(nid)
                 instances.append(scene_mod.HostInstance(
                     name=node.get("name", f"node{nid}"),
                     axes=axes, o=o, shape=sid, material=mid))
@@ -473,24 +510,313 @@ def load_gltf(filename: str):
             visit(cid, xform)
 
     ident = np.eye(4, dtype=np.float32)
+    roots = []
     if "scene" in g and g.get("scenes"):
-        for nid in g["scenes"][g["scene"]].get("nodes", []):
-            visit(nid, ident)
+        roots = list(g["scenes"][g["scene"]].get("nodes", []))
     elif nodes:
         is_root = [True] * len(nodes)
         for node in nodes:
             for cid in node.get("children", []):
                 is_root[cid] = False
-        for nid, root in enumerate(is_root):
-            if root:
-                visit(nid, ident)
+        roots = [nid for nid, root in enumerate(is_root) if root]
+    for nid in roots:
+        visit(nid, ident)
 
     host = scene_mod.HostScene(
         cameras=cameras, shapes=shapes, textures=textures,
         materials=materials, instances=instances, environments=[],
         dirname=dirname)
     scene_mod.finalize_scene(host)
-    return host
+    if not return_graph:
+        return host
+
+    graph = GltfGraph(
+        nodes=[dict(n) for n in nodes], roots=roots,
+        instance_nodes=instance_nodes, camera_nodes=camera_nodes,
+        channels=_load_animation_channels(g, buffers),
+        skins=_load_skins(g, buffers),
+        shape_morphs=shape_morphs, shape_skin_attrs=shape_skin_attrs)
+    return host, graph
+
+
+# --------------------------------------------------------------------------
+# animation / skinning / morphing (ygltf scene_group animation layer,
+# src/ext/yocto_gltf.h:528-636; eval yocto_gltf.cpp:3988-4160)
+# --------------------------------------------------------------------------
+
+
+class GltfGraph:
+    """Retained glTF node graph for keyframe playback.
+
+    * ``nodes``: raw glTF node dicts (translation/rotation/scale/matrix/
+      children/mesh/camera/skin/weights), mutated by animation playback;
+    * ``instance_nodes``/``camera_nodes``: node id per HostScene
+      instance/camera (same order), so new world transforms flow back;
+    * ``channels``: animation channels (see _load_animation_channels);
+    * ``skins``: skin dicts {joints, inverse_bind, skeleton};
+    * ``shape_morphs``: shape id -> morph target list;
+    * ``shape_skin_attrs``: shape id -> (joints (V, 4), weights (V, 4)).
+    """
+
+    def __init__(self, nodes, roots, instance_nodes, camera_nodes, channels,
+                 skins, shape_morphs, shape_skin_attrs):
+        self.nodes = nodes
+        self.roots = roots
+        self.instance_nodes = instance_nodes
+        self.camera_nodes = camera_nodes
+        self.channels = channels
+        self.skins = skins
+        self.shape_morphs = shape_morphs
+        self.shape_skin_attrs = shape_skin_attrs
+
+
+def _load_animation_channels(g: dict, buffers: list) -> list:
+    """glTF animations -> channel records.
+
+    Mirrors the reference's conversion (yocto_gltf.cpp:3067-3143): one
+    record per (sampler, path) with the list of target nodes; times from
+    the sampler input accessor, values from the output accessor.
+    ``interp`` keeps the glTF string ("LINEAR"/"STEP"/"CUBICSPLINE");
+    CUBICSPLINE values stay in glTF's (in-tangent, value, out-tangent)
+    triplet layout, reshaped to (K, 3, C).
+    """
+    channels = []
+    for ai, ganim in enumerate(g.get("animations", [])):
+        samplers = ganim.get("samplers", [])
+        seen = {}
+        for ch in ganim.get("channels", []):
+            tgt = ch.get("target", {})
+            path = tgt.get("path")
+            node = tgt.get("node")
+            si = ch.get("sampler")
+            if path is None or node is None or si is None:
+                continue
+            key = (si, path)
+            if key in seen:
+                seen[key]["nodes"].append(node)
+                continue
+            smp = samplers[si]
+            times = _accessor_f32(g, buffers, smp["input"], 1)[:, 0]
+            interp = smp.get("interpolation", "LINEAR")
+            ncomp = {"translation": 3, "scale": 3, "rotation": 4}.get(path)
+            vals = _accessor(g, buffers, smp["output"]).astype(np.float32)
+            if ncomp is None:  # weights: infer per-key count
+                per_key = vals.size // max(1, len(times))
+                if interp == "CUBICSPLINE":
+                    per_key //= 3
+                    vals = vals.reshape(len(times), 3, per_key)
+                else:
+                    vals = vals.reshape(len(times), per_key)
+            else:
+                if interp == "CUBICSPLINE":
+                    vals = vals.reshape(len(times), 3, ncomp)
+                else:
+                    vals = vals.reshape(len(times), ncomp)
+            rec = dict(name=ganim.get("name", f"anim{ai}"), path=path,
+                       interp=interp, nodes=[node], times=times,
+                       values=vals)
+            seen[key] = rec
+            channels.append(rec)
+    return channels
+
+
+def _load_skins(g: dict, buffers: list) -> list:
+    """glTF skins -> {joints, inverse_bind (J, 4, 4) column-vector,
+    skeleton} (ygltf skin, yocto_gltf.h:596-607)."""
+    skins = []
+    for gskin in g.get("skins", []):
+        joints = list(gskin.get("joints", []))
+        ib = None
+        if "inverseBindMatrices" in gskin:
+            flat = _accessor_f32(g, buffers, gskin["inverseBindMatrices"], 16)
+            # glTF matrices are column-major; keep column-vector convention
+            ib = np.ascontiguousarray(
+                flat.reshape(-1, 4, 4).transpose(0, 2, 1), np.float32)
+        skins.append(dict(name=gskin.get("name", ""), joints=joints,
+                          inverse_bind=ib,
+                          skeleton=gskin.get("skeleton")))
+    return skins
+
+
+def sample_channel(ch: dict, time: float):
+    """Evaluate one animation channel at ``time``.
+
+    Reference eval semantics (update_animated_node_transforms,
+    yocto_gltf.cpp:3990-4078): clamp to step before the first / after the
+    last keyframe; LINEAR lerps (slerp for rotations); STEP holds the left
+    key. CUBICSPLINE is evaluated per the glTF spec's cubic hermite — the
+    reference declares the enum and then leaves both spline cases as empty
+    switch arms (its own "TODO: spline animation", yocto_gltf.cpp:63), so
+    the spec behavior here is a strict superset.
+    """
+    times = ch["times"]
+    vals = ch["values"]
+    cubic = ch["interp"] == "CUBICSPLINE"
+
+    def value(i):
+        return vals[i, 1] if cubic else vals[i]
+
+    if len(times) == 1 or time <= times[0]:
+        return np.asarray(value(0), np.float32)
+    if time >= times[-1]:
+        return np.asarray(value(len(times) - 1), np.float32)
+    i2 = int(np.searchsorted(times, time, side="right"))
+    i2 = min(max(i2, 1), len(times) - 1)
+    i1 = i2 - 1
+    dt = float(times[i2] - times[i1])
+    t = (time - float(times[i1])) / dt if dt > 0 else 0.0
+    if ch["interp"] == "STEP":
+        return np.asarray(value(i1), np.float32)
+    if cubic:
+        # glTF spec: p(t) = (2t³-3t²+1)p0 + dt(t³-2t²+t)m0
+        #                 + (-2t³+3t²)p1 + dt(t³-t²)m1
+        p0, p1 = vals[i1, 1], vals[i2, 1]
+        m0, m1 = vals[i1, 2], vals[i2, 0]
+        t2, t3 = t * t, t * t * t
+        out = ((2 * t3 - 3 * t2 + 1) * p0 + dt * (t3 - 2 * t2 + t) * m0
+               + (-2 * t3 + 3 * t2) * p1 + dt * (t3 - t2) * m1)
+        if ch["path"] == "rotation":
+            out = out / max(float(np.linalg.norm(out)), 1e-12)
+        return np.asarray(out, np.float32)
+    a, b = np.asarray(value(i1), np.float32), np.asarray(value(i2),
+                                                         np.float32)
+    if ch["path"] == "rotation":
+        return _slerp(a, b, t)
+    return a * (1.0 - t) + b * t
+
+
+def _slerp(qa: np.ndarray, qb: np.ndarray, t: float) -> np.ndarray:
+    """Quaternion slerp (ym::slerp equivalent), shortest arc."""
+    d = float(np.dot(qa, qb))
+    if d < 0:
+        qb = -qb
+        d = -d
+    if d > 0.9995:  # nearly parallel: nlerp
+        out = qa * (1.0 - t) + qb * t
+        return (out / np.linalg.norm(out)).astype(np.float32)
+    th = np.arccos(np.clip(d, -1.0, 1.0))
+    sa = np.sin((1.0 - t) * th) / np.sin(th)
+    sb = np.sin(t * th) / np.sin(th)
+    return (qa * sa + qb * sb).astype(np.float32)
+
+
+def update_animated_transforms(graph: GltfGraph, time: float) -> None:
+    """Write every channel's value at ``time`` into its target nodes
+    (update_animated_transforms, yocto_gltf.cpp:4081-4092). Mutates
+    ``graph.nodes`` TRS / weights fields; call
+    :func:`apply_graph_transforms` to propagate to a HostScene."""
+    for ch in graph.channels:
+        v = sample_channel(ch, time)
+        for nid in ch["nodes"]:
+            node = graph.nodes[nid]
+            if ch["path"] == "weights":
+                node["weights"] = [float(x) for x in np.atleast_1d(v)]
+            else:
+                node[ch["path"]] = [float(x) for x in v]
+
+
+def node_world_transforms(graph: GltfGraph) -> dict:
+    """node id -> world 4x4 (column-vector), recomputed from current TRS
+    (update_transforms, yocto_gltf.cpp:3969-3992)."""
+    out = {}
+
+    def visit(nid, parent):
+        xform = parent @ _node_transform(graph.nodes[nid])
+        out[nid] = xform
+        for cid in graph.nodes[nid].get("children", []):
+            visit(cid, xform)
+
+    ident = np.eye(4, dtype=np.float32)
+    for nid in graph.roots:
+        visit(nid, ident)
+    return out
+
+
+def apply_graph_transforms(graph: GltfGraph, host) -> None:
+    """Propagate current node transforms into the HostScene's instance and
+    camera frames (the flatten step of gltf_node_to_instances re-run after
+    animation). Geometry-dependent caches (DeviceScene, stream tables)
+    must be rebuilt by the caller."""
+    world = node_world_transforms(graph)
+    for k, nid in enumerate(graph.instance_nodes):
+        if nid in world:
+            axes, o = _to_frame(world[nid])
+            host.instances[k].axes = axes
+            host.instances[k].o = o
+    for k, nid in enumerate(graph.camera_nodes):
+        if nid in world:
+            axes, o = _to_frame(world[nid])
+            host.cameras[k].axes = axes
+            host.cameras[k].o = o
+
+
+def animation_bounds(graph: GltfGraph):
+    """(t_min, t_max) over all channels (get_animation_bounds,
+    yocto_gltf.cpp:4148-4158)."""
+    lo, hi = 0.0, 0.0
+    for ch in graph.channels:
+        lo = min(lo, float(ch["times"][0]))
+        hi = max(hi, float(ch["times"][-1]))
+    return lo, hi
+
+
+def get_skin_transforms(graph: GltfGraph, skin_id: int,
+                        xform: np.ndarray) -> np.ndarray:
+    """Per-joint local-to-object matrices (J, 4, 4): ``inv(xform) @
+    joint_world @ inverse_bind`` (get_skin_transforms,
+    yocto_gltf.cpp:4101-4117)."""
+    sk = graph.skins[skin_id]
+    world = node_world_transforms(graph)
+    inv_root = np.linalg.inv(xform).astype(np.float32)
+    out = []
+    for j, nid in enumerate(sk["joints"]):
+        jw = world.get(nid, np.eye(4, dtype=np.float32))
+        m = inv_root @ jw
+        if sk["inverse_bind"] is not None:
+            m = m @ sk["inverse_bind"][j]
+        out.append(m)
+    return np.stack(out).astype(np.float32)
+
+
+def skin_vertices(pos: np.ndarray, joints: np.ndarray, weights: np.ndarray,
+                  xforms: np.ndarray) -> np.ndarray:
+    """Linear-blend skinning, batched: (V, 3) positions deformed by up to 4
+    (joint, weight) pairs per vertex against (J, 4, 4) joint matrices.
+
+    The TPU-natural completion of the reference's skin support (it computes
+    the joint matrices for a GPU shader it doesn't have; here the deform is
+    one gather + weighted transform, jit/vmap friendly).
+    """
+    import jax.numpy as jnp
+
+    pos = jnp.asarray(pos, jnp.float32)
+    w = jnp.asarray(weights, jnp.float32)
+    m = jnp.asarray(xforms, jnp.float32)[jnp.asarray(joints)]  # (V, 4, 4, 4)
+    ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], axis=1)
+    # column-vector convention: p' = M @ p
+    deformed = jnp.einsum("vkij,vj->vki", m, ph)[..., :3]      # (V, 4, 3)
+    return jnp.sum(deformed * w[..., None], axis=1)
+
+
+def morph_vertices(shape, targets: list, weights) -> tuple:
+    """Morph-target deformation (compute_morphing_deformation,
+    yocto_gltf.cpp:4119-4160): pos/norm/tangsp += weight * delta per
+    target; a target with no animated weight uses its rest weight."""
+    pos = np.array(shape.pos, np.float32)
+    norm = np.array(shape.norm, np.float32)
+    tangsp = np.array(shape.tangsp, np.float32)
+    for idx, tgt in enumerate(targets):
+        wgt = (float(weights[idx]) if idx < len(weights)
+               else float(tgt.get("weight", 0.0)))
+        if wgt == 0:
+            continue
+        if tgt.get("pos") is not None and len(pos):
+            pos += wgt * tgt["pos"]
+        if tgt.get("norm") is not None and len(norm):
+            norm += wgt * tgt["norm"]
+        if tgt.get("tangsp") is not None and len(tangsp):
+            tangsp[:, :3] += wgt * tgt["tangsp"]
+    return pos, norm, tangsp
 
 
 # --------------------------------------------------------------------------

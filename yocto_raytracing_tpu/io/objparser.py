@@ -81,6 +81,7 @@ class ObjShape:
     points: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     lines: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int32))
     triangles: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.int32))
+    tetrahedra: np.ndarray = field(default_factory=lambda: np.zeros((0, 4), np.int32))
 
 
 @dataclass
@@ -278,7 +279,9 @@ def _assemble_from_native(filename: str, raw_shapes: list,
         shapes.append(ObjShape(
             name=r["name"], matname=r["matname"], pos=r["pos"],
             norm=r["norm"], texcoord=r["texcoord"], radius=r["radius"],
-            points=r["points"], lines=r["lines"], triangles=r["triangles"]))
+            points=r["points"], lines=r["lines"], triangles=r["triangles"],
+            tetrahedra=r.get("tetrahedra",
+                             np.zeros((0, 4), np.int32))))
     return ObjScene(
         shapes=shapes, materials=materials, textures=textures,
         cameras=cameras, instances=instances, environments=environments,
@@ -331,7 +334,7 @@ def _load_obj_python(filename: str, flip_texcoord: bool = True) -> ObjScene:
                 color_raw.append(tuple(float(a) for a in args[:4]))
             elif key == "vr":
                 radius_raw.append(float(args[0]))
-            elif key in ("f", "l", "p"):
+            elif key in ("f", "l", "p", "t"):
                 sizes = (len(pos_raw), len(texcoord_raw), len(norm_raw),
                          len(color_raw), len(radius_raw))
                 g = objects[-1][1][-1]
@@ -379,8 +382,6 @@ def _load_obj_python(filename: str, flip_texcoord: bool = True) -> ObjScene:
                     objname=args[1] if len(args) > 1 else "<unnamed_mesh>",
                     frame=_parse_frame12(args[2:14]),
                 ))
-            # 't' tetrahedra parsed by the reference but dead on its render
-            # path (leaf switch has no tetra case, scene.cpp:386-442)
 
     pos = np.asarray(pos_raw, dtype=np.float32).reshape(-1, 3)
     norm = np.asarray(norm_raw, dtype=np.float32).reshape(-1, 3)
@@ -421,6 +422,7 @@ def _load_obj_python(filename: str, flip_texcoord: bool = True) -> ObjScene:
             tris: list = []
             lins: list = []
             pts: list = []
+            tets: list = []
             for start, etype, size in g["elems"]:
                 ids = vert_ids[start:start + size]
                 if etype == "f":
@@ -434,9 +436,17 @@ def _load_obj_python(filename: str, flip_texcoord: bool = True) -> ObjScene:
                         lins.append((ids[i], ids[i + 1]))
                 elif etype == "p":
                     pts.extend(int(i) for i in ids)
+                elif etype == "t" and size == 4:
+                    # 't' tetrahedra (src/ext/yocto_obj.cpp:436-441); the
+                    # reference's yscn conversion drops them, but the app
+                    # scene model carries the field (src/scene.h:44) — we
+                    # parse and carry too (dead on the render path there
+                    # and here; intersector in ops/intersect.py)
+                    tets.append((ids[0], ids[1], ids[2], ids[3]))
             shp.triangles = np.asarray(tris, dtype=np.int32).reshape(-1, 3)
             shp.lines = np.asarray(lins, dtype=np.int32).reshape(-1, 2)
             shp.points = np.asarray(pts, dtype=np.int32).reshape(-1)
+            shp.tetrahedra = np.asarray(tets, dtype=np.int32).reshape(-1, 4)
 
             # attribute presence decided by the group's first vertex
             # (src/ext/yocto_scn.cpp:377-382)

@@ -76,7 +76,8 @@ def get_lib():
     lib.yrt_obj_shape_data.argtypes = [vp, i32, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_void_p,
-                                       ctypes.c_void_p, ctypes.c_void_p]
+                                       ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p]
     lib.yrt_obj_object_name_len.restype = i32
     lib.yrt_obj_object_name_len.argtypes = [vp, i32]
     lib.yrt_obj_object_name.argtypes = [vp, i32, ctypes.c_char_p]
@@ -125,11 +126,11 @@ def parse_obj_native(path: str, flip_texcoord: bool = True):
         raise FileNotFoundError(path)
     try:
         shapes = []
-        info = np.empty(11, np.int32)
+        info = np.empty(12, np.int32)
         for i in range(lib.yrt_obj_num_shapes(h)):
             lib.yrt_obj_shape_info(h, i, info)
             (nv, ntris, nlines, npts, has_pos, has_tc, has_norm, has_rad,
-             name_len, mat_len, object_id) = (int(x) for x in info)
+             name_len, mat_len, object_id, ntets) = (int(x) for x in info)
             name_buf = ctypes.create_string_buffer(max(name_len, 1))
             mat_buf = ctypes.create_string_buffer(max(mat_len, 1))
             lib.yrt_obj_shape_names(h, i, name_buf, mat_buf)
@@ -144,6 +145,7 @@ def parse_obj_native(path: str, flip_texcoord: bool = True):
             tris = arr((ntris, 3), np.int32)
             lines = arr((nlines, 2), np.int32)
             points = arr(npts, np.int32)
+            tets = arr((ntets, 4), np.int32)
 
             def ptr(a):
                 return a.ctypes.data_as(ctypes.c_void_p) if a is not None \
@@ -151,12 +153,13 @@ def parse_obj_native(path: str, flip_texcoord: bool = True):
 
             lib.yrt_obj_shape_data(h, i, ptr(pos), ptr(tc), ptr(norm),
                                    ptr(rad), ptr(tris), ptr(lines),
-                                   ptr(points))
+                                   ptr(points), ptr(tets))
             shapes.append(dict(
                 name=name_buf.raw[:name_len].decode(errors="replace"),
                 matname=mat_buf.raw[:mat_len].decode(errors="replace"),
                 object_id=object_id, pos=pos, texcoord=tc, norm=norm,
-                radius=rad, triangles=tris, lines=lines, points=points))
+                radius=rad, triangles=tris, lines=lines, points=points,
+                tetrahedra=tets))
         object_names = []
         for i in range(lib.yrt_obj_num_objects(h)):
             ln = lib.yrt_obj_object_name_len(h, i)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from . import intersect as isect
 from ..scene import DeviceScene, PRIM_LINE, PRIM_POINT, PRIM_TRIANGLE
 
-FLT_MAX = jnp.float32(3.4028235e38)
+FLT_MAX = np.float32(3.4028235e38)
 
 
 def _instance_shapes(scene: DeviceScene, meta) -> list:

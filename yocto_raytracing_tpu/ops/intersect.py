@@ -15,9 +15,10 @@ through t/ew for the differentiable hit-attribute recompute (diff layer).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-FLT_MAX = jnp.float32(3.4028235e38)
+FLT_MAX = np.float32(3.4028235e38)
 
 
 def dot(a, b):
@@ -131,6 +132,55 @@ def intersect_line(ro, rd, tmin, tmax, v0, v1, r0, r1):
     r = r0 * (1 - s) + r1 * s
     hit = (det != 0) & (t >= tmin) & (t <= tmax) & (dot(p01, p01) <= r * r)
     return hit, jnp.where(hit, t, FLT_MAX), s
+
+
+def intersect_quad(ro, rd, tmin, tmax, v0, v1, v2, v3):
+    """Batched two-triangle quad (parity: ym::intersect_quad,
+    src/ext/yocto_math.h:5682-5697).
+
+    Triangle 1 = (v0, v1, v3), triangle 2 = (v2, v3, v1) with the second
+    test capped at the first's t (sequential tmax shrink). Returns
+    (hit, t, euv) with euv (…, 4) in the reference's quad convention:
+    tri-1 hits -> (ew0, ew1, 0, ew2); tri-2 hits remapped to
+    (0, 1-u, u+v-1, 1-v). The app render path never draws quads (its
+    loaders triangulate, src/ext/yocto_scn.cpp:398-411) — this exists for
+    ym capability parity and is oracle-tested against the two triangle
+    tests it is defined by.
+    """
+    h1, t1, a1, b1 = intersect_triangle(ro, rd, tmin, tmax, v0, v1, v3)
+    cap = jnp.where(h1, t1, tmax)
+    h2, t2, a2, b2 = intersect_triangle(ro, rd, tmin, cap, v2, v3, v1)
+    hit = h1 | h2
+    t = jnp.where(h2, t2, t1)
+    # ym euv for a triangle is (1-u-v, u, v)
+    e1 = jnp.stack([1.0 - a1 - b1, a1, jnp.zeros_like(a1), b1], axis=-1)
+    u2 = a2
+    v2_ = b2
+    e2 = jnp.stack([jnp.zeros_like(u2), 1.0 - u2, u2 + v2_ - 1.0, 1.0 - v2_],
+                   axis=-1)
+    euv = jnp.where(h2[..., None], e2, e1)
+    return hit, jnp.where(hit, t, FLT_MAX), euv
+
+
+def intersect_tetrahedron(ro, rd, tmin, tmax, v0, v1, v2, v3):
+    """Batched tetrahedron surface test (parity: ym::intersect_tetrahedron,
+    src/ext/yocto_math.h:5718-5743).
+
+    Four face triangle tests in the reference's order — (v0,v1,v2),
+    (v0,v1,v3), (v0,v2,v3), (v1,v2,v3) — each capping tmax at the running
+    nearest, so the returned t is the closest face hit. The reference
+    leaves ``euv`` unset for tetrahedra (its own "TODO: uv"); we return
+    (hit, t) only. Interior intersections are not reported (surface only,
+    per the ym doc comment).
+    """
+    hit = jnp.zeros(jnp.broadcast_shapes(tmin.shape, tmax.shape), bool)
+    t_best = jnp.broadcast_to(tmax, hit.shape).astype(jnp.float32)
+    for (a, b, c) in ((v0, v1, v2), (v0, v1, v3), (v0, v2, v3),
+                      (v1, v2, v3)):
+        h, t, _, _ = intersect_triangle(ro, rd, tmin, t_best, a, b, c)
+        hit = hit | h
+        t_best = jnp.where(h, t, t_best)
+    return hit, jnp.where(hit, t_best, FLT_MAX)
 
 
 def intersect_bbox(ro, rd, tmin, tmax, bmin, bmax):

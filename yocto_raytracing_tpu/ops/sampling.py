@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-PIF = jnp.float32(np.float32(3.14159265358979323846))
+PIF = np.float32(3.14159265358979323846)
 
 
 def _polar(ruv, z):

@@ -57,8 +57,8 @@ import jax.numpy as jnp
 from . import intersect as isect
 from ..scene import PRIM_LINE, PRIM_POINT, PRIM_TRIANGLE
 
-FLT_MAX = jnp.float32(3.4028235e38)
-SLACK = jnp.float32(1.00000024)  # slab robustness factor (scene.cpp:380)
+FLT_MAX = np.float32(3.4028235e38)
+SLACK = np.float32(1.00000024)  # slab robustness factor (scene.cpp:380)
 CLUSTER = 128
 
 
@@ -381,7 +381,11 @@ def _point_planes(ox, oy, oz, dx, dy, dz, tmin, tmax, px, py, pz, r):
     return hit, jnp.where(hit, t, FLT_MAX)
 
 
-BLOCK_RAYS = 2048  # rays per skip-granularity block
+BLOCK_RAYS = 4096  # rays per skip-granularity block (tile-matched; with
+#                    tile-ordered pixels a block is a compact screen tile
+#                    and larger blocks amortize region overhead — measured
+#                    best at 4096 on the refl bench, scripts/sweep_stream.py)
+UNROLL = 4         # clusters tested per worklist-loop iteration
 
 
 @partial(jax.jit, static_argnames=("any_hit",))
@@ -584,16 +588,27 @@ def _intersect_block(
             n_work = jnp.sum(csurv.astype(jnp.int32))
 
             def cl_body(w, st):
-                c = work[w]
-                cbn = stream.cb_min[c]
-                cbx = stream.cb_max[c]
-                # re-test with the CURRENT per-ray t (tighter than the
-                # stale mask) — same ops as the sequential walk
-                active = m_inst & _bbox_hit(lox, loy, loz, ilx, ily, ilz,
-                                            tmin, st["t"], cbn, cbx)
-                return dense_test(st, c, inst_id, lo3, ld3, active)
+                # UNROLL clusters per iteration: each control-flow region
+                # costs ~25 us of TPU sequencer overhead vs ~2.4 us for a
+                # dense 128-prim test, so amortize the region over several
+                # clusters. The folds stay sequential in worklist order —
+                # identical math and fold order to the K=1 loop.
+                for j in range(UNROLL):
+                    idx = w * UNROLL + j
+                    valid = idx < n_work
+                    c = work[jnp.minimum(idx, n_cl - 1)]
+                    cbn = stream.cb_min[c]
+                    cbx = stream.cb_max[c]
+                    # re-test with the CURRENT per-ray t (tighter than the
+                    # stale mask) — same ops as the sequential walk
+                    active = (valid & m_inst
+                              & _bbox_hit(lox, loy, loz, ilx, ily, ilz,
+                                          tmin, st["t"], cbn, cbx))
+                    st = dense_test(st, c, inst_id, lo3, ld3, active)
+                return st
 
-            return jax.lax.fori_loop(0, n_work, cl_body, st)
+            n_iter = (n_work + UNROLL - 1) // UNROLL
+            return jax.lax.fori_loop(0, n_iter, cl_body, st)
 
         return jax.lax.cond(jnp.any(m_inst), expand, lambda: st)
 

@@ -36,12 +36,13 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from . import intersect as isect
 from ..scene import DeviceScene, PRIM_LINE, PRIM_POINT, PRIM_TRIANGLE
 
-FLT_MAX = jnp.float32(3.4028235e38)
+FLT_MAX = np.float32(3.4028235e38)
 
 
 def _leaf_prims_hit(scene, lo, ld, tmin, t_best, nstart, ncount, active,

@@ -1,5 +1,8 @@
+from . import mesh  # noqa: F401
 from .mesh import (  # noqa: F401
+    init_distributed,
     make_ray_mesh,
+    trace_rays_sharded,
     replicate_scene,
     shard_rays,
     render_image_sharded,

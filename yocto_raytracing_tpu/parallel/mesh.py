@@ -110,6 +110,39 @@ def _pad_to(n: int, mult: int) -> int:
     return ((n + mult - 1) // mult) * mult
 
 
+def trace_rays_sharded(scene, meta, mesh: Mesh, ray_ids, ambient, *,
+                       width, height, samples, max_depth, stream=None,
+                       axis_name: str = RAY_AXIS):
+    """``trace_rays`` under ``shard_map``: each device traces its ray
+    shard as an INDEPENDENT program.
+
+    Rays are embarrassingly parallel, but under plain jit-SPMD the stream
+    intersector's data-dependent control flow (compacted worklists,
+    survivor-bounded fori loops) forces the GSPMD partitioner into
+    replicated/serialized schedules — measured on an 8-device CPU mesh:
+    wall time INCREASED with device count. ``shard_map`` states the
+    parallelism directly: per-shard local shapes, no cross-device
+    dependence, no collectives in the forward render. This is the
+    production multi-chip render path.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    rep = jax.tree_util.tree_map(lambda _: P(), (scene, stream, ambient))
+
+    def local(scene_, stream_, ambient_, ids):
+        return renderer_mod.trace_rays(
+            scene_, ids, ambient_, width=width, height=height,
+            samples=samples, max_depth=max_depth,
+            max_stack=meta.max_stack, stream=stream_,
+            has_kd_textures=meta.has_kd_textures,
+            has_ks_textures=meta.has_ks_textures)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(rep[0], rep[1], rep[2], P(axis_name)),
+                   out_specs=P(axis_name), check_rep=False)
+    return fn(scene, stream, ambient, ray_ids)
+
+
 def render_image_sharded(
     scene,
     meta,
@@ -149,11 +182,9 @@ def render_image_sharded(
     for start in range(0, nray, chunk_rays):
         ids = np.minimum(np.arange(start, start + chunk_rays), nray - 1)
         ids_sh = shard_rays(ids.astype(np.int32), mesh)
-        rgb = renderer_mod.trace_rays(
-            scene, ids_sh, amb, width=width, height=height, samples=samples,
-            max_depth=max_depth, max_stack=meta.max_stack, stream=stream,
-            has_kd_textures=meta.has_kd_textures,
-            has_ks_textures=meta.has_ks_textures)
+        rgb = trace_rays_sharded(
+            scene, meta, mesh, ids_sh, amb, width=width, height=height,
+            samples=samples, max_depth=max_depth, stream=stream)
         # per-shard host copies: works when the mesh spans hosts and only
         # this process's slabs are addressable (per-host tile ownership,
         # SURVEY.md §2.3 — unowned rows stay zero on this process)

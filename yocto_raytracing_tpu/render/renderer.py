@@ -29,8 +29,8 @@ from ..ops import traverse
 from . import camera as camera_mod
 from . import shade as shade_mod
 
-RAY_EPS = jnp.float32(1e-4)
-FLT_MAX = jnp.float32(3.4028235e38)
+RAY_EPS = np.float32(1e-4)
+FLT_MAX = np.float32(3.4028235e38)
 
 
 def image_width(aspect: float, resolution: int) -> int:
@@ -39,11 +39,44 @@ def image_width(aspect: float, resolution: int) -> int:
     return int(math.floor(aspect * resolution + 0.5))
 
 
-@partial(jax.jit, static_argnames=("spp", "max_depth", "max_stack",
-                                   "has_kd_textures", "has_ks_textures"))
+def tile_permutation(width: int, height: int, spp: int,
+                     block_rays: int) -> np.ndarray:
+    """Pixel visit order that makes each intersector ray block a compact
+    screen tile.
+
+    The stream intersector culls per block of ``block_rays`` consecutive
+    rays (ops/stream.py): a block's cluster worklist is the UNION over its
+    rays, so a block covering a long scanline strip (the natural pixel
+    order) intersects far more clusters than the same pixel count as a
+    square-ish tile. This permutation orders pixels so each block =
+    ``block_rays // spp`` pixels forms a 16-wide tile. Per-ray results are
+    unchanged by construction (culling never changes results, only skips
+    work — ops/stream.py module invariant), so renders stay bit-identical
+    to scanline order; only wall-clock drops (measured 1.9 -> 4.4 Mrays/s
+    device-side on the refl bench).
+
+    Returns perm (npix,) i32: perm[k] = flat pixel id of the k-th pixel in
+    tile order.
+    """
+    tile_px = max(1, block_rays // max(1, spp))
+    tw = min(16, tile_px)
+    th = max(1, tile_px // tw)
+    ys, xs = np.mgrid[0:height, 0:width]
+    ntx = (width + tw - 1) // tw
+    tile_id = (ys // th) * ntx + (xs // tw)
+    within = (ys % th) * tw + (xs % tw)
+    order = np.lexsort((within.ravel(), tile_id.ravel()))
+    return order.astype(np.int32)
+
+
+@partial(jax.jit, inline=True,
+         static_argnames=("spp", "max_depth", "max_stack",
+                          "has_kd_textures", "has_ks_textures",
+                          "stochastic"))
 def _render_chunk(scene, ids, ambient, width, height, samples, spp,
                   max_depth, max_stack, stream=None,
-                  has_kd_textures=True, has_ks_textures=True):
+                  has_kd_textures=True, has_ks_textures=True,
+                  stochastic=False, rng_key=None):
     """trace_rays + on-device per-pixel spp sum.
 
     Returns (chunk_pixels, 3) pixel sums instead of (chunk_rays, 3) per-ray
@@ -58,17 +91,21 @@ def _render_chunk(scene, ids, ambient, width, height, samples, spp,
                      samples=samples, max_depth=max_depth,
                      max_stack=max_stack, stream=stream,
                      has_kd_textures=has_kd_textures,
-                     has_ks_textures=has_ks_textures)
+                     has_ks_textures=has_ks_textures,
+                     stochastic=stochastic, rng_key=rng_key)
     return rgb.reshape(-1, spp, 3).sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("chunk_pixels", "n_chunks", "spp",
                                    "max_depth", "max_stack",
-                                   "has_kd_textures", "has_ks_textures"))
+                                   "has_kd_textures", "has_ks_textures",
+                                   "ldr", "stochastic"))
 def _render_chunks_fused(scene, ambient, width, height, samples,
                          chunk_pixels, n_chunks, spp, max_depth, max_stack,
                          stream=None, has_kd_textures=True,
-                         has_ks_textures=True):
+                         has_ks_textures=True, perm=None,
+                         chunk_offset=0, ldr=False,
+                         stochastic=False, rng_key=None):
     """Whole-frame render in ONE dispatch: ``lax.map`` over chunk starts,
     ray ids generated on device.
 
@@ -79,6 +116,12 @@ def _render_chunks_fused(scene, ambient, width, height, samples,
     Tail lanes (ids past the last pixel) render a clamped duplicate pixel
     that the caller slices off.
 
+    ``perm`` (npix,) i32 reorders the pixel VISIT order (tile_permutation)
+    so each intersector block culls over a compact screen tile; row k of
+    the result is then pixel perm[k] and the caller scatters. Per-pixel
+    values are unchanged (the spp sum stays within-pixel in the same
+    order; culling cannot change per-ray results).
+
     Contract vs the chunked path: same f32 ops in the same order, but XLA
     may contract a*b+c into fma() differently across the lax.map fusion
     boundary — measured <= ~1.4e-6 absolute on TPU (ULP-level on spp sums,
@@ -86,23 +129,40 @@ def _render_chunks_fused(scene, ambient, width, height, samples,
     therefore always take the chunked path, so truncate-and-resume stays
     BIT-identical within that mode (tests/test_cli.py).
     """
-    lane = jnp.arange(chunk_pixels * spp, dtype=jnp.int32)
-    last = jnp.int32(width * height * spp - 1)
+    # lax.iota, NOT jnp.arange: arange materializes a trace-time CONSTANT
+    # that lowering hoists into an executable input; jax 0.9 then loses
+    # track of such hoisted consts once several entries coexist and later
+    # calls die with "Execution supplied 46 buffers but compiled program
+    # expected 49". iota is a traced device op — nothing to hoist.
+    lane = jax.lax.iota(jnp.int32, chunk_pixels * spp)
+    npix_last = jnp.int32(width * height - 1)
 
     def one_chunk(c):
-        ids = jnp.minimum(c * (chunk_pixels * spp) + lane, last)
+        g = (chunk_offset + c) * (chunk_pixels * spp) + lane
+        k = jnp.minimum(g // spp, npix_last)   # pixel slot in visit order
+        pix = k if perm is None else perm[k]
+        ids = pix * spp + g % spp
         return _render_chunk(
             scene, ids, ambient, width, height, samples, spp=spp,
             max_depth=max_depth, max_stack=max_stack, stream=stream,
-            has_kd_textures=has_kd_textures, has_ks_textures=has_ks_textures)
+            has_kd_textures=has_kd_textures, has_ks_textures=has_ks_textures,
+            stochastic=stochastic, rng_key=rng_key)
 
-    sums = jax.lax.map(one_chunk, jnp.arange(n_chunks, dtype=jnp.int32))
-    return sums.reshape(-1, 3)
+    sums = jax.lax.map(one_chunk, jax.lax.iota(jnp.int32, n_chunks))
+    sums = sums.reshape(-1, 3)
+    if not ldr:
+        return sums
+    # device-side tonemap to PNG-ready u8 (exposure 0, filmic off, sRGB,
+    # truncating cast — image.tonemap semantics, src/image.cpp:55-77):
+    # 4x less d2h than f32 sums over the tunnel-attached chip
+    rgb = sums / jnp.float32(spp)
+    srgb = jnp.power(jnp.maximum(rgb, 0.0), jnp.float32(1 / 2.2))
+    return (jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "max_stack",
                                    "differentiable", "has_kd_textures",
-                                   "has_ks_textures"))
+                                   "has_ks_textures", "stochastic"))
 def trace_rays(
     scene,
     ray_ids: jnp.ndarray,   # (N,) flat ray ids (pixel-major, spp-minor)
@@ -116,6 +176,8 @@ def trace_rays(
     stream=None,            # ops.stream.StreamScene -> cluster-scan path
     has_kd_textures: bool = True,   # static shade specialization
     has_ks_textures: bool = True,   # (SceneMeta.has_*_textures)
+    stochastic: bool = False,       # jittered AA + thin-lens DOF
+    rng_key=None,                   # jax PRNG key (required if stochastic)
 ):
     """Radiance for a batch of primary rays. Returns (N, 3) linear RGB.
 
@@ -128,8 +190,23 @@ def trace_rays(
     AD cannot transpose ``while_loop``); forward-only rendering keeps the
     early-exiting ``while_loop``.
     """
-    _, uv = camera_mod.pixel_uv(width, height, samples, ray_ids)
-    ro, rd = camera_mod.eval_camera(scene, uv)
+    if stochastic:
+        # jittered AA + (aperture > 0) thin-lens DOF — the stochastic
+        # render mode (SURVEY §7 design stance: "stateless counter-based
+        # RNG where sampling is needed"); variates are keyed by ray id so
+        # output is chunking/sharding-invariant (camera.per_ray_uniform)
+        from ..ops import sampling as sampling_mod
+
+        seed = jnp.asarray(rng_key, jnp.uint32)
+        _, uv = camera_mod.pixel_uv_jittered(width, height, samples,
+                                             ray_ids, seed)
+        ruv = camera_mod.per_ray_uniform(seed ^ jnp.uint32(0x9E3779B9),
+                                         ray_ids, 2)
+        lens = sampling_mod.sample_disk(ruv)[:, :2]
+        ro, rd = camera_mod.eval_camera_dof(scene, uv, lens)
+    else:
+        _, uv = camera_mod.pixel_uv(width, height, samples, ray_ids)
+        ro, rd = camera_mod.eval_camera(scene, uv)
     n = ro.shape[0]
 
     def isect_fn(ro_, rd_, tmin_, tmax_, any_hit):
@@ -215,8 +292,24 @@ def render_image(
     chunk_pixels: int = 1 << 15,
     checkpoint: str | None = None,
     stream=None,
+    ldr: bool = False,
+    stochastic: bool = False,
+    seed: int = 0,
 ) -> np.ndarray:
     """Full-frame render -> (height, width, 4) f32 linear, alpha 1.
+
+    ``stochastic=True``: jittered AA + thin-lens DOF (when the camera has
+    aperture > 0) driven by stateless ``jax.random`` with ``seed`` —
+    deterministic per seed, independent of chunking (trace_rays).
+
+    ``ldr=True`` instead tonemaps ON DEVICE (exposure 0, sRGB — the PNG
+    branch of save_hdr_or_ldr, src/image.cpp:81-89) and returns
+    (height, width, 4) u8: the device->host transfer shrinks 4x, which
+    matters on a tunnel-attached chip where d2h — not compute — can
+    dominate frame time. Device pow() may differ from numpy pow() by ULPs,
+    so a u8 value sitting exactly on a truncation boundary can differ by 1
+    step from ``image.tonemap(render_image(...))`` (tests pin <= 1 step);
+    golden-parity paths use ldr=False + host tonemap.
 
     ``checkpoint``: path of an accumulator snapshot written after every
     chunk; if it exists and matches this render's config, completed chunks
@@ -232,17 +325,45 @@ def render_image(
         [width, height, samples, max_depth, chunk_pixels], np.int64)
 
     if not checkpoint:
-        # no per-chunk host sync needed: fused single-dispatch path
+        # no per-chunk host sync: fused-dispatch path, pixels visited in
+        # tile order so every intersector block culls a compact screen
+        # tile (see tile_permutation). The frame is issued as a few
+        # super-chunk dispatches so the d2h of one super-chunk overlaps
+        # the device compute of the next (async dispatch queue).
+        from ..ops import stream as stream_mod
+
         n_chunks = -(-npix // chunk_pixels)
-        sums = _render_chunks_fused(
-            scene, amb, width, height, samples,
-            chunk_pixels=chunk_pixels, n_chunks=n_chunks, spp=spp,
-            max_depth=max_depth, max_stack=meta.max_stack, stream=stream,
-            has_kd_textures=meta.has_kd_textures,
-            has_ks_textures=meta.has_ks_textures)
-        out = np.asarray(sums)[:npix]
+        perm_np, perm_dev = _tile_perm_cached(width, height, spp,
+                                              stream_mod.BLOCK_RAYS)
+        n_super = min(4, n_chunks)
+        per = -(-n_chunks // n_super)
+        rng_key = jnp.uint32(seed) if stochastic else None
+        # width/height/samples go in as ARRAYS, not Python ints: they must
+        # stay runtime values (camera.pixel_uv divide-by-literal parity),
+        # and jax 0.9's C++ jit fastpath drops Python-int args on a cache
+        # hit when the entry was traced with `max_stack` etc. differing —
+        # observed as "Execution supplied 46 buffers but compiled program
+        # expected 49" on the second identical-shape render
+        w_t = jnp.int32(width)
+        h_t = jnp.int32(height)
+        s_t = jnp.int32(samples)
+        parts = []
+        for si in range(0, n_chunks, per):
+            parts.append(_render_chunks_fused(
+                scene, amb, w_t, h_t, s_t,
+                chunk_pixels=chunk_pixels, n_chunks=min(per, n_chunks - si),
+                spp=spp, max_depth=max_depth, max_stack=meta.max_stack,
+                stream=stream, has_kd_textures=meta.has_kd_textures,
+                has_ks_textures=meta.has_ks_textures,
+                perm=perm_dev, chunk_offset=jnp.int32(si), ldr=ldr,
+                stochastic=stochastic, rng_key=rng_key))
+        out = np.concatenate([np.asarray(p) for p in parts])[:npix]
+        if ldr:
+            img = np.full((npix, 4), 255, np.uint8)
+            img[perm_np, :3] = out
+            return img.reshape(height, width, 4)
         img = np.ones((npix, 4), np.float32)
-        img[:, :3] = out / np.float32(spp)
+        img[perm_np, :3] = out / np.float32(spp)
         return img.reshape(height, width, 4)
 
     out = np.empty((npix, 3), np.float32)
@@ -266,7 +387,8 @@ def render_image(
             scene, jnp.asarray(ids), amb, width, height, samples,
             spp=spp, max_depth=max_depth, max_stack=meta.max_stack,
             stream=stream, has_kd_textures=meta.has_kd_textures,
-            has_ks_textures=meta.has_ks_textures)
+            has_ks_textures=meta.has_ks_textures, stochastic=stochastic,
+            rng_key=jnp.uint32(seed) if stochastic else None)
         stop = min(start + chunk_pixels, npix)
         out[start:stop] = np.asarray(rgb)[: stop - start]
         if checkpoint:
@@ -275,7 +397,28 @@ def render_image(
 
     img = np.ones((npix, 4), np.float32)
     img[:, :3] = out / np.float32(spp)
-    return img.reshape(height, width, 4)
+    img = img.reshape(height, width, 4)
+    if ldr:  # checkpointed renders tonemap on host (bit-stable resume)
+        from .. import image as image_mod
+
+        return image_mod.tonemap(img)
+    return img
+
+
+_perm_cache: dict = {}
+
+
+def _tile_perm_cached(width: int, height: int, spp: int, block_rays: int):
+    """(host perm, device perm) for a render config, cached so repeated
+    renders skip both the lexsort and the h2d upload (1.8 MB at 1024p
+    rides a slow tunnel)."""
+    key = (width, height, spp, block_rays)
+    hit = _perm_cache.get(key)
+    if hit is None:
+        perm_np = tile_permutation(width, height, spp, block_rays)
+        hit = (perm_np, jnp.asarray(perm_np))
+        _perm_cache[key] = hit
+    return hit
 
 
 def _atomic_savez(path: str, **arrays) -> None:
@@ -296,6 +439,8 @@ def render_scene_file(
     max_depth: int = 8,
     chunk_pixels: int = 1 << 15,
     intersector: str = "stream",
+    stochastic: bool = False,
+    seed: int = 0,
 ):
     """Load + render, mirroring the reference main() (raytrace.cpp:256-287).
 
@@ -320,5 +465,6 @@ def render_scene_file(
     width = image_width(cam.aspect, resolution)
     img = render_image(dscene, meta, width, resolution, samples,
                        ambient=ambient, max_depth=max_depth,
-                       chunk_pixels=chunk_pixels, stream=stream)
+                       chunk_pixels=chunk_pixels, stream=stream,
+                       stochastic=stochastic, seed=seed)
     return img, host, dscene, meta

@@ -28,14 +28,15 @@ precision by default and break f32 parity.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import intersect as isect
 from ..scene import PRIM_LINE, PRIM_POINT, PRIM_TRIANGLE
 from . import texture as texture_mod
 
-RAY_EPS = jnp.float32(1e-4)
-FLT_MAX = jnp.float32(3.4028235e38)
+RAY_EPS = np.float32(1e-4)
+FLT_MAX = np.float32(3.4028235e38)
 
 
 _normalize = isect.safe_normalize

@@ -61,6 +61,11 @@ class HostShape:
     points: np.ndarray       # (P,)  i32
     lines: np.ndarray        # (L, 2) i32
     triangles: np.ndarray    # (T, 3) i32
+    # (Q, 4) i32 tetrahedra (src/scene.h:44); parsed from OBJ 't' lines,
+    # dead on the render path exactly as in the reference (the BVH leaf
+    # switch has no tetra case, src/scene.cpp:386-442)
+    tetrahedra: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 4), np.int32))
     # (V, 4) tangent space xyz=tangent w=bitangent sign (src/scene.h:36);
     # empty until computed by finalize_scene for normal-mapped shapes
     tangsp: np.ndarray = field(
@@ -352,6 +357,7 @@ def _load_obj_scene(filename: str) -> HostScene:
             points=s.points,
             lines=s.lines,
             triangles=s.triangles,
+            tetrahedra=s.tetrahedra,
         ))
         shape_mat.append(mat_index.get(s.matname, -1))
 

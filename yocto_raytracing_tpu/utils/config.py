@@ -22,6 +22,8 @@ class RenderConfig:
     sharded: bool = False       # shard rays over all local devices
     checkpoint: str = ""        # accumulator checkpoint path ("" = off)
     intersector: str = "stream"  # "stream" fast path / "bvh" oracle
+    stochastic: bool = False    # jittered AA + thin-lens DOF (aperture > 0)
+    seed: int = 0               # jax.random seed for --stochastic
 
     def to_dict(self):
         return asdict(self)
