@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 SCENES = "/root/reference/in"
 REFL = os.path.join(SCENES, "refl_pointlight/refl_pointlight.obj")
@@ -109,7 +111,9 @@ def main():
     def step():
         out, loss = mesh_mod.train_step(dscene, ids, target, amb,
                                         jnp.float32(0.0), **kw)
-        jax.block_until_ready(loss)
+        # float() forces a real d2h sync — block_until_ready proved
+        # unreliable over the tunnel (returned before execution finished)
+        assert np.isfinite(float(loss))
 
     step()  # compile
     dt = best_of(step)

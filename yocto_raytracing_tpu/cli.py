@@ -45,7 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "aperture > 0 (e.g. the simple scene's cam_dof, "
                         "select with --camera 1)")
     p.add_argument("--seed", type=int, default=0,
-                   help="jax.random seed for --stochastic")
+                   help="RNG seed for the stochastic modes")
+    p.add_argument("--area-lights", action="store_true",
+                   help="sample emissive shapes by element CDF (soft "
+                        "shadows; averages over spp)")
     return p
 
 
@@ -60,7 +63,7 @@ def config_from_args(args) -> "RenderConfig":
         max_depth=args.max_depth, chunk_pixels=args.chunk_pixels,
         sharded=args.sharded, checkpoint=args.checkpoint,
         intersector=args.intersector, stochastic=args.stochastic,
-        seed=args.seed)
+        seed=args.seed, area_lights=args.area_lights)
 
 
 def run(scenein: str, cfg: "RenderConfig") -> int:
@@ -77,6 +80,12 @@ def run(scenein: str, cfg: "RenderConfig") -> int:
 
     with log_phase("building bvh + device scene"):
         dscene, meta = scene_lib.build_device_scene(host, camera=cfg.camera)
+        light_sampler = None
+        if cfg.area_lights:
+            from .render import lights as lights_mod
+
+            light_sampler = lights_mod.build_light_sampler(host, dscene,
+                                                           meta)
         stream = None
         if cfg.intersector == "stream":
             import jax
@@ -112,7 +121,8 @@ def run(scenein: str, cfg: "RenderConfig") -> int:
                 ambient=cfg.ambient, max_depth=cfg.max_depth,
                 chunk_pixels=cfg.chunk_pixels,
                 checkpoint=cfg.checkpoint or None, stream=stream,
-                stochastic=cfg.stochastic, seed=cfg.seed)
+                stochastic=cfg.stochastic, seed=cfg.seed,
+                light_sampler=light_sampler)
 
     with log_phase(f"saving image {cfg.output}"):
         image_mod.save_hdr_or_ldr(cfg.output, img)

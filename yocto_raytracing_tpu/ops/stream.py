@@ -62,12 +62,22 @@ SLACK = np.float32(1.00000024)  # slab robustness factor (scene.cpp:380)
 CLUSTER = 128
 
 
+# fields kept as STATIC (hashable aux_data, not traced leaves): the flat
+# scan path unrolls the instance stage in Python and slices static cluster
+# windows, so these must be compile-time constants
+STATIC_FIELDS = ("s_cl_base", "s_n_cl")
+
+
 def _pytree(cls):
     names = [f for f in cls.__dataclass_fields__]
+    dyn = [n for n in names if n not in STATIC_FIELDS]
+    sta = [n for n in names if n in STATIC_FIELDS]
     jax.tree_util.register_pytree_node(
         cls,
-        lambda s: (tuple(getattr(s, n) for n in names), None),
-        lambda _, leaves: cls(**dict(zip(names, leaves))),
+        lambda s: (tuple(getattr(s, n) for n in dyn),
+                   tuple(getattr(s, n) for n in sta)),
+        lambda aux, leaves: cls(**dict(zip(dyn, leaves)),
+                                **dict(zip(sta, aux))),
     )
     return cls
 
@@ -102,6 +112,10 @@ class StreamScene:
     inst_wb_max: Any  # (I, 3)
     inst_n_cl: Any     # (I,) i32 cluster count of the shape
     inst_cl_base: Any  # (I,) i32 first cluster of the shape
+    # STATIC (aux_data) copies for the flat path's Python-unrolled
+    # instance stage: tuples of ints, never traced
+    s_cl_base: Any = ()   # (I,) tuple
+    s_n_cl: Any = ()      # (I,) tuple
 
 
 def _dfs_leaf_items(start, count, isleaf, leaf_items, root):
@@ -268,6 +282,8 @@ def build_stream_scene(host, dev, meta) -> StreamScene:
         inst_wb_min=wb_min, inst_wb_max=wb_max,
         inst_n_cl=np.asarray(ncl_l, np.int32),
         inst_cl_base=np.asarray(clb_l, np.int32),
+        s_cl_base=tuple(int(x) for x in clb_l),
+        s_n_cl=tuple(int(x) for x in ncl_l),
     )
 
 
@@ -381,11 +397,211 @@ def _point_planes(ox, oy, oz, dx, dy, dz, tmin, tmax, px, py, pz, r):
     return hit, jnp.where(hit, t, FLT_MAX)
 
 
+def _dense_test(stream, st, c, inst_id, lo3, ld3, active, tmin_b, lane):
+    """Test all 128 prims of cluster ``c``; returns the folded state.
+
+    lo3/ld3: instance-local ray component planes, each (N, 1). Shared by
+    the per-instance loop path and the flat pair-worklist path — the
+    exact same f32 ops either way (parity invariant).
+    """
+    lox, loy, loz = lo3
+    ldx, ldy, ldz = ld3
+    v0x, v0y, v0z = stream.v0x[c], stream.v0y[c], stream.v0z[c]
+    v1x, v1y, v1z = stream.v1x[c], stream.v1y[c], stream.v1z[c]
+    v2x, v2y, v2z = stream.v2x[c], stream.v2y[c], stream.v2z[c]
+    r0 = stream.r0[c]
+    r1 = stream.r1[c]
+    ty = stream.ptype[c]
+    gid = stream.gid[c]
+
+    tbest_b = st["t"][:, None]
+
+    def tri_only(_):
+        h, t = _tri_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b, tbest_b,
+                           v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z)
+        return h & (ty >= 0), t
+
+    def line_only(_):
+        h, t = _line_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                            tbest_b, v0x, v0y, v0z, v1x, v1y, v1z,
+                            r0, r1)
+        return h & (ty >= 0), t
+
+    def point_only(_):
+        h, t = _point_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                             tbest_b, v0x, v0y, v0z, r0)
+        return h & (ty >= 0), t
+
+    def mixed(_):
+        th, tt = _tri_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                             tbest_b, v0x, v0y, v0z, v1x, v1y, v1z,
+                             v2x, v2y, v2z)
+        lh, lt = _line_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                              tbest_b, v0x, v0y, v0z, v1x, v1y, v1z,
+                              r0, r1)
+        ph, pt = _point_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                               tbest_b, v0x, v0y, v0z, r0)
+        h = jnp.where(ty == PRIM_TRIANGLE, th,
+                      jnp.where(ty == PRIM_LINE, lh,
+                                jnp.where(ty == PRIM_POINT, ph, False)))
+        t = jnp.where(ty == PRIM_TRIANGLE, tt,
+                      jnp.where(ty == PRIM_LINE, lt, pt))
+        return h, t
+
+    hit, t = jax.lax.switch(stream.ctype[c],
+                            [tri_only, line_only, point_only, mixed],
+                            None)
+    hit = hit & active[:, None]
+    t = jnp.where(hit, t, FLT_MAX)
+
+    # within-cluster winner: smallest t, LAST lane on equal t (the
+    # sequential test order is forward with inclusive replace).
+    # Reductions only — a per-row gather would scalarize on TPU.
+    t_min = jnp.min(t, axis=1)
+    is_win = hit & (t == t_min[:, None])
+    k = jnp.max(jnp.where(is_win, lane, -1), axis=1)
+    prim_k = jnp.sum(jnp.where(lane == k[:, None], gid[None], 0), axis=1)
+    any_k = k >= 0
+
+    # fold: inclusive t <= t_best accepted (last equal-t wins)
+    accept = any_k & (t_min <= st["t"])
+    return dict(
+        t=jnp.where(accept, t_min, st["t"]),
+        hit_inst=jnp.where(accept, inst_id, st["hit_inst"]),
+        hit_prim=jnp.where(accept, prim_k, st["hit_prim"]),
+    )
+
+
+def _local_ray_planes(A, o, ox, oy, oz, dx, dy, dz):
+    """World ray planes -> instance-local planes + inverse directions
+    (component form of isect.transform_ray_inverse; the transform of an
+    identity frame normalizes rd again, like the reference)."""
+    cx, cy, cz = ox - o[0], oy - o[1], oz - o[2]
+    lox = _dot3(A[0, 0], A[0, 1], A[0, 2], cx, cy, cz)
+    loy = _dot3(A[1, 0], A[1, 1], A[1, 2], cx, cy, cz)
+    loz = _dot3(A[2, 0], A[2, 1], A[2, 2], cx, cy, cz)
+    tdx = _dot3(A[0, 0], A[0, 1], A[0, 2], dx, dy, dz)
+    tdy = _dot3(A[1, 0], A[1, 1], A[1, 2], dx, dy, dz)
+    tdz = _dot3(A[2, 0], A[2, 1], A[2, 2], dx, dy, dz)
+    ldx, ldy, ldz = _normalize3(tdx, tdy, tdz)
+    inv = (jnp.float32(1) / ldx, jnp.float32(1) / ldy, jnp.float32(1) / ldz)
+    return (lox, loy, loz), (ldx, ldy, ldz), inv
+
+
+@partial(jax.jit, static_argnames=("any_hit",))
+def _intersect_block_flat(
+    stream: StreamScene,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    any_hit: bool = False,
+):
+    """Flat (instance, cluster) pair-worklist scan for small scenes.
+
+    The loop path (_intersect_block) pays ~3 sequencer regions per
+    surviving instance (cond + fori wrapper + worklist groups) — on the
+    refl bench that region overhead EXCEEDS the dense-test compute
+    (PERF.md). Here the instance stage is unrolled in PYTHON (static
+    instance count, static per-shape cluster windows from
+    StreamScene.s_cl_base/s_n_cl): per instance one transform + one
+    (rays x nc) slab mask, concatenated into a single (rays, PAIRS)
+    mask over scene-DFS-ordered (instance, cluster) pairs, compacted
+    once, and walked by ONE fori. Same dense tests in the same DFS
+    order with the same folds — results identical to the loop path
+    (module invariant; tests/test_stream.py covers both paths).
+    """
+    n_inst = len(stream.s_n_cl)
+    n_pairs = sum(stream.s_n_cl)
+    n = ro.shape[0]
+    ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
+    dx, dy, dz = rd[:, 0], rd[:, 1], rd[:, 2]
+
+    init = dict(
+        t=tmax.astype(jnp.float32),
+        hit_inst=jnp.full((n,), -1, jnp.int32),
+        hit_prim=jnp.full((n,), -1, jnp.int32),
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER), 1)
+    tmin_b = tmin[:, None]
+
+    # static instance stage: local planes + per-pair masks, no regions
+    lox_l, loy_l, loz_l = [], [], []
+    ldx_l, ldy_l, ldz_l = [], [], []
+    masks = []
+    pair_inst_l, pair_cl_l = [], []
+    for k in range(n_inst):
+        A = stream.inst_axes[k]
+        o = stream.inst_o[k]
+        lo3, ld3, il3 = _local_ray_planes(A, o, ox, oy, oz, dx, dy, dz)
+        lox_l.append(lo3[0]); loy_l.append(lo3[1]); loz_l.append(lo3[2])
+        ldx_l.append(ld3[0]); ldy_l.append(ld3[1]); ldz_l.append(ld3[2])
+        base = stream.s_cl_base[k]
+        nc = stream.s_n_cl[k]
+        cbn = stream.cb_min[base:base + nc]          # static slice
+        cbx = stream.cb_max[base:base + nc]
+        m = _bbox_hit(lo3[0][:, None], lo3[1][:, None], lo3[2][:, None],
+                      il3[0][:, None], il3[1][:, None], il3[2][:, None],
+                      tmin[:, None], tmax[:, None],
+                      (cbn[None, :, 0], cbn[None, :, 1], cbn[None, :, 2]),
+                      (cbx[None, :, 0], cbx[None, :, 1], cbx[None, :, 2]))
+        masks.append(m)                               # (N, nc)
+        pair_inst_l.extend([k] * nc)
+        pair_cl_l.extend(range(base, base + nc))
+
+    pair_mask = jnp.concatenate(masks, axis=1)        # (N, PAIRS)
+    pair_inst = jnp.asarray(pair_inst_l, jnp.int32)
+    pair_cl = jnp.asarray(pair_cl_l, jnp.int32)
+    LOX = jnp.stack(lox_l); LOY = jnp.stack(loy_l); LOZ = jnp.stack(loz_l)
+    LDX = jnp.stack(ldx_l); LDY = jnp.stack(ldy_l); LDZ = jnp.stack(ldz_l)
+
+    psurv = jnp.any(pair_mask, axis=0)                # (PAIRS,)
+    # ascending compaction keeps scene-DFS pair order (parity order)
+    work = jnp.nonzero(psurv, size=n_pairs,
+                       fill_value=0)[0].astype(jnp.int32)
+    n_work = jnp.sum(psurv.astype(jnp.int32))
+
+    def body(w, st):
+        for j in range(UNROLL):
+            idx = w * UNROLL + j
+            valid = idx < n_work
+            p = work[jnp.minimum(idx, n_pairs - 1)]
+            ii = pair_inst[p]
+            c = pair_cl[p]
+            lox, loy, loz = LOX[ii], LOY[ii], LOZ[ii]
+            ldx, ldy, ldz = LDX[ii], LDY[ii], LDZ[ii]
+            ilx = jnp.float32(1) / ldx
+            ily = jnp.float32(1) / ldy
+            ilz = jnp.float32(1) / ldz
+            # re-test with the CURRENT per-ray t (tighter than the stale
+            # block mask) — same ops as the sequential walk
+            active = valid & _bbox_hit(lox, loy, loz, ilx, ily, ilz,
+                                       tmin, st["t"], stream.cb_min[c],
+                                       stream.cb_max[c])
+            if any_hit:
+                active = active & (st["hit_prim"] < 0)
+            st = _dense_test(stream, st, c, stream.inst_id[ii],
+                             (lox[:, None], loy[:, None], loz[:, None]),
+                             (ldx[:, None], ldy[:, None], ldz[:, None]),
+                             active, tmin_b, lane)
+        return st
+
+    n_iter_max = (n_work + UNROLL - 1) // UNROLL
+    out = jax.lax.fori_loop(0, n_iter_max, body, init)
+    return dict(
+        hit=out["hit_prim"] >= 0,
+        inst=out["hit_inst"],
+        prim=out["hit_prim"],
+        t=out["t"],
+    )
+
+
 BLOCK_RAYS = 4096  # rays per skip-granularity block (tile-matched; with
 #                    tile-ordered pixels a block is a compact screen tile
 #                    and larger blocks amortize region overhead — measured
 #                    best at 4096 on the refl bench, scripts/sweep_stream.py)
 UNROLL = 4         # clusters tested per worklist-loop iteration
+FORCE_LOOP_PATH = False  # benchmarking/debug: disable the flat pair path
 
 
 @partial(jax.jit, static_argnames=("any_hit",))
@@ -409,19 +625,26 @@ def intersect_stream(
     docstring).
     """
     n = ro.shape[0]
+    # flat pair-worklist path for small instance counts (static host-side
+    # choice; the per-instance loop path handles 10k-instance scenes where
+    # a dense pair space would not fit)
+    n_pairs = sum(stream.s_n_cl)
+    flat = (not FORCE_LOOP_PATH
+            and len(stream.s_n_cl) <= 32 and 0 < n_pairs <= 512)
+    block_fn = _intersect_block_flat if flat else _intersect_block
     if n > BLOCK_RAYS:
         pad = (-n) % BLOCK_RAYS
         def pad0(x, v=0):
             return jnp.concatenate(
                 [x, jnp.full((pad,) + x.shape[1:], v, x.dtype)])
         blocks = jax.lax.map(
-            lambda args: _intersect_block(stream, *args, any_hit=any_hit),
+            lambda args: block_fn(stream, *args, any_hit=any_hit),
             (pad0(ro).reshape(-1, BLOCK_RAYS, 3),
              pad0(rd).reshape(-1, BLOCK_RAYS, 3),
              pad0(tmin).reshape(-1, BLOCK_RAYS),
              pad0(tmax, -FLT_MAX).reshape(-1, BLOCK_RAYS)))
         return {k: v.reshape(-1)[:n] for k, v in blocks.items()}
-    return _intersect_block(stream, ro, rd, tmin, tmax, any_hit=any_hit)
+    return block_fn(stream, ro, rd, tmin, tmax, any_hit=any_hit)
 
 
 @partial(jax.jit, static_argnames=("any_hit",))
@@ -452,75 +675,8 @@ def _intersect_block(
     tmin_b = tmin[:, None]
 
     def dense_test(st, c, inst_id, lo3, ld3, active):
-        """Test all 128 cluster prims; returns the folded state.
-
-        lo3/ld3: instance-local ray component planes, each (N, 1)."""
-        lox, loy, loz = lo3
-        ldx, ldy, ldz = ld3
-        v0x, v0y, v0z = stream.v0x[c], stream.v0y[c], stream.v0z[c]
-        v1x, v1y, v1z = stream.v1x[c], stream.v1y[c], stream.v1z[c]
-        v2x, v2y, v2z = stream.v2x[c], stream.v2y[c], stream.v2z[c]
-        r0 = stream.r0[c]
-        r1 = stream.r1[c]
-        ty = stream.ptype[c]
-        gid = stream.gid[c]
-
-        tbest_b = st["t"][:, None]
-
-        def tri_only(_):
-            h, t = _tri_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b, tbest_b,
-                               v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z)
-            return h & (ty >= 0), t
-
-        def line_only(_):
-            h, t = _line_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
-                                tbest_b, v0x, v0y, v0z, v1x, v1y, v1z,
-                                r0, r1)
-            return h & (ty >= 0), t
-
-        def point_only(_):
-            h, t = _point_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
-                                 tbest_b, v0x, v0y, v0z, r0)
-            return h & (ty >= 0), t
-
-        def mixed(_):
-            th, tt = _tri_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
-                                 tbest_b, v0x, v0y, v0z, v1x, v1y, v1z,
-                                 v2x, v2y, v2z)
-            lh, lt = _line_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
-                                  tbest_b, v0x, v0y, v0z, v1x, v1y, v1z,
-                                  r0, r1)
-            ph, pt = _point_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
-                                   tbest_b, v0x, v0y, v0z, r0)
-            h = jnp.where(ty == PRIM_TRIANGLE, th,
-                          jnp.where(ty == PRIM_LINE, lh,
-                                    jnp.where(ty == PRIM_POINT, ph, False)))
-            t = jnp.where(ty == PRIM_TRIANGLE, tt,
-                          jnp.where(ty == PRIM_LINE, lt, pt))
-            return h, t
-
-        hit, t = jax.lax.switch(stream.ctype[c],
-                                [tri_only, line_only, point_only, mixed],
-                                None)
-        hit = hit & active[:, None]
-        t = jnp.where(hit, t, FLT_MAX)
-
-        # within-cluster winner: smallest t, LAST lane on equal t (the
-        # sequential test order is forward with inclusive replace).
-        # Reductions only — a per-row gather would scalarize on TPU.
-        t_min = jnp.min(t, axis=1)
-        is_win = hit & (t == t_min[:, None])
-        k = jnp.max(jnp.where(is_win, lane, -1), axis=1)
-        prim_k = jnp.sum(jnp.where(lane == k[:, None], gid[None], 0), axis=1)
-        any_k = k >= 0
-
-        # fold: inclusive t <= t_best accepted (last equal-t wins)
-        accept = any_k & (t_min <= st["t"])
-        return dict(
-            t=jnp.where(accept, t_min, st["t"]),
-            hit_inst=jnp.where(accept, inst_id, st["hit_inst"]),
-            hit_prim=jnp.where(accept, prim_k, st["hit_prim"]),
-        )
+        return _dense_test(stream, st, c, inst_id, lo3, ld3, active,
+                           tmin_b, lane)
 
     def instance_body(st, ii):
         """One instance: transform once, dense-mask its clusters, then a

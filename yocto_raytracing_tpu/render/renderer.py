@@ -76,7 +76,7 @@ def tile_permutation(width: int, height: int, spp: int,
 def _render_chunk(scene, ids, ambient, width, height, samples, spp,
                   max_depth, max_stack, stream=None,
                   has_kd_textures=True, has_ks_textures=True,
-                  stochastic=False, rng_key=None):
+                  stochastic=False, rng_key=None, light_sampler=None):
     """trace_rays + on-device per-pixel spp sum.
 
     Returns (chunk_pixels, 3) pixel sums instead of (chunk_rays, 3) per-ray
@@ -92,7 +92,8 @@ def _render_chunk(scene, ids, ambient, width, height, samples, spp,
                      max_stack=max_stack, stream=stream,
                      has_kd_textures=has_kd_textures,
                      has_ks_textures=has_ks_textures,
-                     stochastic=stochastic, rng_key=rng_key)
+                     stochastic=stochastic, rng_key=rng_key,
+                     light_sampler=light_sampler)
     return rgb.reshape(-1, spp, 3).sum(axis=1)
 
 
@@ -105,7 +106,8 @@ def _render_chunks_fused(scene, ambient, width, height, samples,
                          stream=None, has_kd_textures=True,
                          has_ks_textures=True, perm=None,
                          chunk_offset=0, ldr=False,
-                         stochastic=False, rng_key=None):
+                         stochastic=False, rng_key=None,
+                         light_sampler=None):
     """Whole-frame render in ONE dispatch: ``lax.map`` over chunk starts,
     ray ids generated on device.
 
@@ -146,7 +148,8 @@ def _render_chunks_fused(scene, ambient, width, height, samples,
             scene, ids, ambient, width, height, samples, spp=spp,
             max_depth=max_depth, max_stack=max_stack, stream=stream,
             has_kd_textures=has_kd_textures, has_ks_textures=has_ks_textures,
-            stochastic=stochastic, rng_key=rng_key)
+            stochastic=stochastic, rng_key=rng_key,
+            light_sampler=light_sampler)
 
     sums = jax.lax.map(one_chunk, jax.lax.iota(jnp.int32, n_chunks))
     sums = sums.reshape(-1, 3)
@@ -177,7 +180,8 @@ def trace_rays(
     has_kd_textures: bool = True,   # static shade specialization
     has_ks_textures: bool = True,   # (SceneMeta.has_*_textures)
     stochastic: bool = False,       # jittered AA + thin-lens DOF
-    rng_key=None,                   # jax PRNG key (required if stochastic)
+    rng_key=None,                   # u32 seed (required if stochastic)
+    light_sampler=None,             # render/lights.py tables -> area lights
 ):
     """Radiance for a batch of primary rays. Returns (N, 3) linear RGB.
 
@@ -232,6 +236,20 @@ def trace_rays(
 
     tmin = jnp.full((n,), RAY_EPS)
 
+    # optional area-light sampling (soft shadows): ONE shape-space sample
+    # point per (light, ray) for the whole path, from the element CDFs the
+    # reference builds and never uses (render/lights.py). Ray-id-keyed
+    # variates keep it chunking/sharding-invariant; averages over spp.
+    light_pos = None
+    if light_sampler is not None:
+        from . import lights as lights_mod
+
+        lseed = (jnp.asarray(rng_key if rng_key is not None else 0,
+                             jnp.uint32) ^ jnp.uint32(0x85EBCA6B))
+        lruv = camera_mod.per_ray_uniform(lseed, ray_ids, 3)
+        light_pos = lights_mod.sample_light_points(scene, light_sampler,
+                                                   lruv)
+
     # depth loop: one compiled body regardless of max_depth, early exit when
     # every path has died (kr = 0 everywhere after bounce 1 for most
     # scenes) — the iterative form of shade()'s recursion
@@ -245,7 +263,7 @@ def trace_rays(
         color, kr, p, refl_dir, mask = shade_mod.shade_step(
             scene, st["ro"], st["rd"], hits, ambient, st["active"], occluder,
             has_kd_textures=has_kd_textures,
-            has_ks_textures=has_ks_textures)
+            has_ks_textures=has_ks_textures, light_pos=light_pos)
         acc = st["acc"] + st["thr"] * color
         cont = mask & jnp.any(kr > 0, axis=-1)
         thr = jnp.where(cont[:, None], st["thr"] * kr, st["thr"])
@@ -295,6 +313,7 @@ def render_image(
     ldr: bool = False,
     stochastic: bool = False,
     seed: int = 0,
+    light_sampler=None,
 ) -> np.ndarray:
     """Full-frame render -> (height, width, 4) f32 linear, alpha 1.
 
@@ -337,7 +356,8 @@ def render_image(
                                               stream_mod.BLOCK_RAYS)
         n_super = min(4, n_chunks)
         per = -(-n_chunks // n_super)
-        rng_key = jnp.uint32(seed) if stochastic else None
+        rng_key = (jnp.uint32(seed)
+                   if (stochastic or light_sampler is not None) else None)
         # width/height/samples go in as ARRAYS, not Python ints: they must
         # stay runtime values (camera.pixel_uv divide-by-literal parity),
         # and jax 0.9's C++ jit fastpath drops Python-int args on a cache
@@ -356,7 +376,8 @@ def render_image(
                 stream=stream, has_kd_textures=meta.has_kd_textures,
                 has_ks_textures=meta.has_ks_textures,
                 perm=perm_dev, chunk_offset=jnp.int32(si), ldr=ldr,
-                stochastic=stochastic, rng_key=rng_key))
+                stochastic=stochastic, rng_key=rng_key,
+                light_sampler=light_sampler))
         out = np.concatenate([np.asarray(p) for p in parts])[:npix]
         if ldr:
             img = np.full((npix, 4), 255, np.uint8)
@@ -388,7 +409,10 @@ def render_image(
             spp=spp, max_depth=max_depth, max_stack=meta.max_stack,
             stream=stream, has_kd_textures=meta.has_kd_textures,
             has_ks_textures=meta.has_ks_textures, stochastic=stochastic,
-            rng_key=jnp.uint32(seed) if stochastic else None)
+            rng_key=(jnp.uint32(seed)
+                     if (stochastic or light_sampler is not None)
+                     else None),
+            light_sampler=light_sampler)
         stop = min(start + chunk_pixels, npix)
         out[start:stop] = np.asarray(rgb)[: stop - start]
         if checkpoint:
@@ -441,6 +465,7 @@ def render_scene_file(
     intersector: str = "stream",
     stochastic: bool = False,
     seed: int = 0,
+    area_lights: bool = False,
 ):
     """Load + render, mirroring the reference main() (raytrace.cpp:256-287).
 
@@ -454,6 +479,11 @@ def render_scene_file(
 
     host = scene_lib.load_scene(path)
     dscene, meta = scene_lib.build_device_scene(host, camera=camera)
+    light_sampler = None
+    if area_lights:
+        from . import lights as lights_mod
+
+        light_sampler = lights_mod.build_light_sampler(host, dscene, meta)
     stream = None
     if intersector == "stream":
         from ..ops import stream as stream_mod
@@ -466,5 +496,6 @@ def render_scene_file(
     img = render_image(dscene, meta, width, resolution, samples,
                        ambient=ambient, max_depth=max_depth,
                        chunk_pixels=chunk_pixels, stream=stream,
-                       stochastic=stochastic, seed=seed)
+                       stochastic=stochastic, seed=seed,
+                       light_sampler=light_sampler)
     return img, host, dscene, meta

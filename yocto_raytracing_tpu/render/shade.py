@@ -130,7 +130,8 @@ def eval_hit(scene, ro, rd, inst, prim):
 
 
 def shade_step(scene, ro, rd, hits, amb, active, occluder,
-               has_kd_textures=True, has_ks_textures=True):
+               has_kd_textures=True, has_ks_textures=True,
+               light_pos=None):
     """One wavefront bounce of the reference shade() body.
 
     ``occluder(p, d, tmin, tmax, mask)`` with (L, N, ...) stacked shadow rays
@@ -208,8 +209,12 @@ def shade_step(scene, ro, rd, hits, amb, active, occluder,
     if num_lights:
         # build all shadow rays, one stacked traversal
         # quirk-exact light vector: transform_point(light_frame, lpos - p)
-        # (raytrace.cpp:129-130)
-        diff = scene.light_pos[:, None, :] - p[None, :, :]        # (L, N, 3)
+        # (raytrace.cpp:129-130). ``light_pos`` overrides the per-light
+        # shape-space position with per-ray AREA samples (render/lights.py)
+        # — (L, N, 3); the deterministic path broadcasts pos[0].
+        lpos = (scene.light_pos[:, None, :] if light_pos is None
+                else light_pos)
+        diff = lpos - p[None, :, :]                               # (L, N, 3)
         lvec = isect.transform_point(
             scene.light_axes[:, None, :, :],
             scene.light_o[:, None, :], diff)

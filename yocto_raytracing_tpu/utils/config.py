@@ -23,7 +23,8 @@ class RenderConfig:
     checkpoint: str = ""        # accumulator checkpoint path ("" = off)
     intersector: str = "stream"  # "stream" fast path / "bvh" oracle
     stochastic: bool = False    # jittered AA + thin-lens DOF (aperture > 0)
-    seed: int = 0               # jax.random seed for --stochastic
+    seed: int = 0               # RNG seed for the stochastic modes
+    area_lights: bool = False   # element-CDF soft shadows
 
     def to_dict(self):
         return asdict(self)
