@@ -99,6 +99,37 @@ def test_stream_matches_traversal_simple_camera_rays():
     _assert_equal(a, b)
 
 
+@pytest.mark.parametrize("seed", [0, 2])
+def test_flat_pair_path_matches_traversal(seed):
+    """The opt-in flat pair-worklist scan (ops/stream.py, YRT_FLAT_SCAN)
+    produces the same results as the oracle — same dense tests in the
+    same DFS order, only the loop structure differs."""
+    dev, meta, ss = _build(testscenes.make_random_scene(seed=seed))
+    ro, rd, tmin, tmax = _rays(seed + 20, 512)
+    a = traverse.intersect_scene(dev, ro, rd, tmin, tmax,
+                                 max_stack=meta.max_stack)
+    b = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax, flat=True)
+    # weaker contract than the production loop path: the flat path's
+    # restacked per-instance ray planes fuse differently, so the LOCAL
+    # RAY itself can differ by an FMA-contraction ULP, which the prim
+    # solve amplifies to a few ULP of t (vs <= 1 for the loop path)
+    np.testing.assert_array_equal(np.asarray(a["hit"]),
+                                  np.asarray(b["hit"]))
+    ta = np.asarray(a["t"])
+    tb = np.asarray(b["t"])
+    ulp = np.abs(ta.view(np.int32) - tb.view(np.int32))
+    assert ulp.max() <= 8, f"t ULP diff {ulp.max()}"
+    exact = ta == tb
+    np.testing.assert_array_equal(np.asarray(a["prim"])[exact],
+                                  np.asarray(b["prim"])[exact])
+    c = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax, any_hit=True,
+                                    flat=True)
+    a2 = traverse.intersect_scene(dev, ro, rd, tmin, tmax, any_hit=True,
+                                  max_stack=meta.max_stack)
+    np.testing.assert_array_equal(np.asarray(a2["hit"]),
+                                  np.asarray(c["hit"]))
+
+
 @needs_reference
 def test_stream_golden_render():
     """End-to-end: renderer with the stream intersector matches the oracle."""

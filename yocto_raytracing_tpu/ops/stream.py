@@ -601,10 +601,19 @@ BLOCK_RAYS = 4096  # rays per skip-granularity block (tile-matched; with
 #                    and larger blocks amortize region overhead — measured
 #                    best at 4096 on the refl bench, scripts/sweep_stream.py)
 UNROLL = 4         # clusters tested per worklist-loop iteration
-FORCE_LOOP_PATH = False  # benchmarking/debug: disable the flat pair path
+# The flat pair-worklist path (opt-in, YRT_FLAT_SCAN=1) was built to
+# eliminate the per-instance sequencer regions, but measured 25% SLOWER
+# than the loop path on the refl bench (2.37 vs 3.12 Mrays/s wall): the
+# per-pair dynamic row-slices of the stacked local-ray planes and the
+# weaker initial-tmax masks cost more than the ~3 regions/instance they
+# save. Kept (parity-tested, tests/test_stream.py runs both) as the
+# documented experiment — see PERF.md.
+import os as _os  # noqa: E402
+
+FORCE_LOOP_PATH = _os.environ.get("YRT_FLAT_SCAN", "") != "1"
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
+@partial(jax.jit, static_argnames=("any_hit", "flat"))
 def intersect_stream(
     stream: StreamScene,
     ro: jnp.ndarray,     # (N, 3)
@@ -612,6 +621,7 @@ def intersect_stream(
     tmin: jnp.ndarray,   # (N,)
     tmax: jnp.ndarray,   # (N,)
     any_hit: bool = False,
+    flat: bool | None = None,   # None -> module default (env opt-in)
 ):
     """Nearest-hit (or any-hit) by scanning all clusters in DFS order.
 
@@ -625,12 +635,13 @@ def intersect_stream(
     docstring).
     """
     n = ro.shape[0]
-    # flat pair-worklist path for small instance counts (static host-side
-    # choice; the per-instance loop path handles 10k-instance scenes where
-    # a dense pair space would not fit)
+    # flat pair-worklist path only for small instance counts (static
+    # host-side choice; the per-instance loop path handles 10k-instance
+    # scenes where a dense pair space would not fit)
     n_pairs = sum(stream.s_n_cl)
-    flat = (not FORCE_LOOP_PATH
-            and len(stream.s_n_cl) <= 32 and 0 < n_pairs <= 512)
+    if flat is None:
+        flat = not FORCE_LOOP_PATH
+    flat = flat and len(stream.s_n_cl) <= 32 and 0 < n_pairs <= 512
     block_fn = _intersect_block_flat if flat else _intersect_block
     if n > BLOCK_RAYS:
         pad = (-n) % BLOCK_RAYS
