@@ -6,6 +6,27 @@ import numpy as np
 from yocto_raytracing_tpu import geometry as geo
 
 
+def test_element_geometry_helpers():
+    """vmath.h:225-245 parity: normals/areas/tangents/lengths/volume."""
+    v0 = np.asarray([0, 0, 0], np.float32)
+    v1 = np.asarray([1, 0, 0], np.float32)
+    v2 = np.asarray([0, 1, 0], np.float32)
+    v3 = np.asarray([0, 0, 1], np.float32)
+    np.testing.assert_allclose(geo.triangle_normal(v0, v1, v2), [0, 0, 1])
+    np.testing.assert_allclose(geo.triangle_area(v0, v1, v2), 0.5)
+    np.testing.assert_allclose(geo.line_tangent(v0, v1), [1, 0, 0])
+    np.testing.assert_allclose(geo.line_length(v0, 2 * v1), 2.0)
+    np.testing.assert_allclose(geo.tetrahedron_volume(v0, v1, v2, v3),
+                               1 / 6, rtol=1e-6)
+    # signed: swapping two verts flips the sign
+    np.testing.assert_allclose(geo.tetrahedron_volume(v0, v2, v1, v3),
+                               -1 / 6, rtol=1e-6)
+    # batched
+    a = geo.triangle_area(np.stack([v0, v0]), np.stack([v1, 2 * v1]),
+                          np.stack([v2, 2 * v2]))
+    np.testing.assert_allclose(a, [0.5, 2.0])
+
+
 def test_quads_to_triangles():
     q = np.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], np.int32)
     t = geo.quads_to_triangles(q)

@@ -11,12 +11,16 @@ and differentiable w.r.t. camera, geometry and material parameters.
 Layer map (mirrors SURVEY.md section 1, reimagined TPU-first):
   image             pixels, tonemap, PNG/HDR codecs           (ref: src/image.*)
   io.objparser      OBJ/MTL parser w/ yocto extensions        (ref: src/ext/yocto_obj.*)
+  io.gltf           glTF 2.0/GLB I/O + animation/skin/morph   (ref: src/ext/yocto_gltf.*)
   scene             SoA pytree scene + loader                 (ref: src/scene.*, yocto_scn.*)
   bvh               flat-array two-level BVH build            (ref: src/scene.cpp:509-657)
-  ops               ray-primitive intersectors + traversal    (ref: src/scene.cpp:229-506)
-  render            camera/texture/shading/wavefront loop     (ref: src/raytrace.cpp)
+  ops               intersectors, stream scan, traversal,
+                    MC sampling, overlap queries              (ref: src/scene.cpp:229-506, ym::)
+  render            camera/texture/shading/lights/renderer    (ref: src/raytrace.cpp)
+  geometry          edge maps, tesselation, shape generation  (ref: yocto_math.h:3793-4480)
+  animation         keyframe playback                         (ref: src/scene.cpp:35-49)
+  procedural        test images, byte-equal to ym::           (ref: yocto_math.h:6482-6698)
   parallel          device-mesh sharding, multi-chip renders  (ref: none -- new capability)
-  diff              detached-traversal gradients              (ref: none -- new capability)
   utils             CLI, config, logging, checkpointing       (ref: src/ext/yocto_utils.h)
 """
 

@@ -21,6 +21,46 @@ from __future__ import annotations
 import numpy as np
 
 
+# ---------------------------------------------------------------------------
+# element geometry helpers (src/vmath.h:225-245)
+# ---------------------------------------------------------------------------
+
+
+def triangle_normal(v0, v1, v2):
+    """normalize(cross(v1-v0, v2-v0)) (vmath.h:225-228), batched."""
+    n = np.cross(np.asarray(v1) - v0, np.asarray(v2) - v0)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.maximum(ln, 1e-30)).astype(np.float32)
+
+
+def triangle_area(v0, v1, v2):
+    """|cross(e1, e2)| / 2 (vmath.h:230-232), batched."""
+    c = np.cross(np.asarray(v1) - v0, np.asarray(v2) - v0)
+    return (np.linalg.norm(c, axis=-1) / 2).astype(np.float32)
+
+
+def line_tangent(v0, v1):
+    """normalize(v1 - v0) (vmath.h:234-236), batched."""
+    d = np.asarray(v1, np.float32) - v0
+    ln = np.linalg.norm(d, axis=-1, keepdims=True)
+    return (d / np.maximum(ln, 1e-30)).astype(np.float32)
+
+
+def line_length(v0, v1):
+    """|v1 - v0| (vmath.h:238-240), batched."""
+    return np.linalg.norm(np.asarray(v1, np.float32) - v0,
+                          axis=-1).astype(np.float32)
+
+
+def tetrahedron_volume(v0, v1, v2, v3):
+    """dot(cross(v1-v0, v2-v0), v3-v0) / 6 (vmath.h:242-245), batched,
+    signed."""
+    v0 = np.asarray(v0, np.float32)
+    c = np.cross(np.asarray(v1) - v0, np.asarray(v2) - v0)
+    return (np.sum(c * (np.asarray(v3) - v0), axis=-1) / 6).astype(
+        np.float32)
+
+
 def quads_to_triangles(quads: np.ndarray) -> np.ndarray:
     """(Q, 4) -> (2Q, 3): {x, y, w}, {z, w, y} (yocto_math.h:3856-3867)."""
     q = np.asarray(quads, np.int32).reshape(-1, 4)
