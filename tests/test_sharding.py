@@ -142,3 +142,100 @@ def test_loss_matches_unsharded(setup):
     scene_r = parallel.replicate_scene(scene, mesh)
     l8 = float(parallel.render_loss(scene_r, ids_sh, target, amb, **kwargs))
     np.testing.assert_allclose(l1, l8, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mechanical proof of the communication contract (SCALING.md):
+# the forward render is collective-free; the training step's only
+# cross-device ops are add-reductions (the loss mean + gradient psums)
+# ---------------------------------------------------------------------------
+
+COLLECTIVES = ("all-reduce", "all-gather", "collective-permute",
+               "reduce-scatter", "all-to-all", "collective-broadcast")
+
+
+def test_forward_render_is_collective_free(setup_stream):
+    """Lower trace_rays_sharded to post-optimization HLO and assert the
+    compiled module contains ZERO collective ops — the SCALING.md claim
+    ("a forward render has zero cross-device operations"), checked
+    mechanically rather than asserted from design."""
+    scene, meta, stream = setup_stream
+    mesh = parallel.make_ray_mesh()
+    w = h = 16
+    ids = parallel.shard_rays(np.arange(w * h, dtype=np.int32), mesh)
+    scene_r = parallel.replicate_scene(scene, mesh)
+    stream_r = parallel.replicate_scene(stream, mesh)
+    amb = jnp.asarray([0.1, 0.1, 0.1], jnp.float32)
+
+    def fwd(s, st, a, i):
+        return parallel.trace_rays_sharded(
+            s, meta, mesh, i, a, width=w, height=h, samples=1,
+            max_depth=3, stream=st)
+
+    txt = jax.jit(fwd).lower(scene_r, stream_r, amb, ids).compile().as_text()
+    found = [op for op in COLLECTIVES if op in txt]
+    assert not found, f"forward render lowered with collectives: {found}"
+
+
+@pytest.fixture(scope="module")
+def sharded_train_inputs(setup_stream):
+    scene, meta, stream = setup_stream
+    mesh = parallel.make_ray_mesh()
+    w = h = 8
+    ids = parallel.shard_rays(np.arange(w * h, dtype=np.int32), mesh)
+    scene_r = parallel.replicate_scene(scene, mesh)
+    stream_r = parallel.replicate_scene(stream, mesh)
+    amb = jnp.asarray([0.1, 0.1, 0.1], jnp.float32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    kwargs = dict(width=w, height=h, samples=1, max_depth=3,
+                  max_stack=meta.max_stack, stream=stream_r)
+    return mesh, scene_r, ids, target, amb, kwargs
+
+
+def test_train_step_sharded_collectives(sharded_train_inputs):
+    """The production multi-chip training step must communicate ONLY
+    through psums: every collective in the compiled HLO is an all-reduce
+    whose computation is a scalar add (the loss mean + the gradient
+    reductions), and at least one exists. (Plain jit-SPMD train_step
+    instead lowers with dozens of pred[] consensus all-reduces inside the
+    intersector's while loops — the measured GSPMD pathology that makes
+    shard_map the production path, SCALING.md.)"""
+    import re
+
+    from yocto_raytracing_tpu.parallel import mesh as mesh_mod
+
+    mesh, scene_r, ids, target, amb, kwargs = sharded_train_inputs
+    diff, static, treedef = mesh_mod.partition_scene(scene_r)
+    lowered = mesh_mod._train_step_shmap.lower(
+        diff, static, ids, target, amb, jnp.float32(0.1),
+        kwargs["stream"], jnp.int32(8), jnp.int32(8), jnp.int32(1),
+        mesh=mesh, treedef=treedef, axis_name=mesh_mod.RAY_AXIS,
+        max_depth=3, max_stack=kwargs["max_stack"])
+    txt = lowered.compile().as_text()
+
+    bad = [op for op in COLLECTIVES if op != "all-reduce" and op in txt]
+    assert not bad, f"unexpected collectives in train_step_sharded: {bad}"
+    ars = re.findall(r"all-reduce[^\n]*to_apply=(%?[\w.\-]+)", txt)
+    assert len(ars) >= 1, "no gradient psum found in HLO"
+    # every all-reduce reduces with scalar add (a psum, nothing else)
+    for comp in set(ars):
+        sig = re.search(re.escape(comp) + r"\s*\([^)]*\)[^{]*\{(.*?)\n\}",
+                        txt, re.S)
+        assert sig and "add(" in sig.group(1), (
+            f"all-reduce computation {comp} is not an add")
+
+
+def test_train_step_sharded_matches_train_step(sharded_train_inputs):
+    """Same loss and updated scene as jit-SPMD train_step (up to f32
+    reduction order: global mean vs psum-of-shard-means/ndev)."""
+    mesh, scene_r, ids, target, amb, kwargs = sharded_train_inputs
+    s1, l1 = parallel.train_step(scene_r, ids, target, amb,
+                                 jnp.float32(0.2), **kwargs)
+    s2, l2 = parallel.train_step_sharded(scene_r, ids, target, amb,
+                                         jnp.float32(0.2), mesh=mesh,
+                                         **kwargs)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

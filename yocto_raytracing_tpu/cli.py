@@ -114,7 +114,9 @@ def run(scenein: str, cfg: "RenderConfig") -> int:
             img = parallel.render_image_sharded(
                 dscene, meta, mesh, width, height, cfg.samples,
                 ambient=cfg.ambient, max_depth=cfg.max_depth,
-                chunk_pixels=cfg.chunk_pixels, stream=stream)
+                chunk_pixels=cfg.chunk_pixels, stream=stream,
+                stochastic=cfg.stochastic, seed=cfg.seed,
+                light_sampler=light_sampler)
         else:
             img = renderer.render_image(
                 dscene, meta, width, height, cfg.samples,

@@ -79,7 +79,10 @@ def edge_map(faces: np.ndarray):
     """
     f = np.asarray(faces, np.int32)
     if f.shape[1] == 3:
-        raw = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        # per-face interleaved (e01, e12, e20 of face 0, then face 1, ...)
+        # so first-seen numbering equals the reference's per-face insertion
+        # order (edge_map(triangles), yocto_math.h:3877-3884)
+        raw = f[:, [[0, 1], [1, 2], [2, 0]]].reshape(-1, 2)
     else:
         degen = f[:, 2] == f[:, 3]
         fq = f[~degen]
@@ -177,7 +180,17 @@ def tesselate_triangles(triangles, verts: dict, normalize_normals=True):
 
 def tesselate_quads(quads, verts: dict, normalize_normals=True):
     """Face split with edge + face points: 4 quads per quad, 3 per
-    degenerate (triangle) quad (yocto_math.h:4034-4104)."""
+    degenerate (triangle) quad (yocto_math.h:4034-4104).
+
+    Divergence (documented, deliberate): we assign ONE face point per quad
+    ROW. The reference's ``fmap[f] = fmap.size() + ...`` (4045-4046) keys
+    by quad VALUE, so a mesh containing duplicate faces dedupes them —
+    but re-assigning an existing key makes the stored id the CURRENT map
+    size (evaluation-order-unspecified in C++14), which exceeds the
+    ``resize`` at 4050 and writes out of bounds. Duplicate-face meshes are
+    UB in the reference; for the well-defined (duplicate-free) case the
+    two numberings agree.
+    """
     q = np.asarray(quads, np.int32).reshape(-1, 4)
     nv = len(next(iter(verts.values())))
     edges, id_of = edge_map(q)

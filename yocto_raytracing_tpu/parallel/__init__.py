@@ -8,4 +8,5 @@ from .mesh import (  # noqa: F401
     render_image_sharded,
     render_loss,
     train_step,
+    train_step_sharded,
 )

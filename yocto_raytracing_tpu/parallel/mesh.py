@@ -112,8 +112,9 @@ def _pad_to(n: int, mult: int) -> int:
 
 def trace_rays_sharded(scene, meta, mesh: Mesh, ray_ids, ambient, *,
                        width, height, samples, max_depth, stream=None,
+                       stochastic=False, seed=0, light_sampler=None,
                        axis_name: str = RAY_AXIS):
-    """``trace_rays`` under ``shard_map``: each device traces its ray
+    """``trace_rays`` under ``jax.shard_map``: each device traces its ray
     shard as an INDEPENDENT program.
 
     Rays are embarrassingly parallel, but under plain jit-SPMD the stream
@@ -124,23 +125,32 @@ def trace_rays_sharded(scene, meta, mesh: Mesh, ray_ids, ambient, *,
     parallelism directly: per-shard local shapes, no cross-device
     dependence, no collectives in the forward render. This is the
     production multi-chip render path.
+
+    ``stochastic``/``seed``/``light_sampler`` select the jittered-AA/DOF
+    and area-light modes; their RNG is keyed by GLOBAL ray id
+    (camera.per_ray_uniform), so the sharded render stays bit-identical
+    to the single-device one regardless of the shard layout.
     """
-    from jax.experimental.shard_map import shard_map
+    rep = jax.tree_util.tree_map(
+        lambda _: P(), (scene, stream, ambient, light_sampler))
+    rng_key = (jnp.uint32(seed)
+               if (stochastic or light_sampler is not None) else None)
 
-    rep = jax.tree_util.tree_map(lambda _: P(), (scene, stream, ambient))
-
-    def local(scene_, stream_, ambient_, ids):
+    def local(scene_, stream_, ambient_, sampler_, ids):
         return renderer_mod.trace_rays(
             scene_, ids, ambient_, width=width, height=height,
             samples=samples, max_depth=max_depth,
             max_stack=meta.max_stack, stream=stream_,
             has_kd_textures=meta.has_kd_textures,
-            has_ks_textures=meta.has_ks_textures)
+            has_ks_textures=meta.has_ks_textures,
+            stochastic=stochastic, rng_key=rng_key,
+            light_sampler=sampler_)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(rep[0], rep[1], rep[2], P(axis_name)),
-                   out_specs=P(axis_name), check_rep=False)
-    return fn(scene, stream, ambient, ray_ids)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(rep[0], rep[1], rep[2], rep[3],
+                                 P(axis_name)),
+                       out_specs=P(axis_name), check_vma=False)
+    return fn(scene, stream, ambient, light_sampler, ray_ids)
 
 
 def render_image_sharded(
@@ -154,11 +164,15 @@ def render_image_sharded(
     max_depth: int = 8,
     chunk_pixels: int | None = None,
     stream=None,
+    stochastic: bool = False,
+    seed: int = 0,
+    light_sampler=None,
 ) -> np.ndarray:
     """Full-frame render with rays sharded over the mesh.
 
-    Semantically identical to renderer.render_image (same trace_rays body);
-    the batch is padded so every device gets an equal slab. ``stream`` (a
+    Semantically identical to renderer.render_image (same trace_rays body,
+    same global-ray-id-keyed RNG for the stochastic/area-light modes); the
+    batch is padded so every device gets an equal slab. ``stream`` (a
     StreamScene) selects the cluster-scan fast path; like the scene it is
     replicated on every device. Returns (height, width, 4) f32 linear,
     alpha 1.
@@ -172,6 +186,8 @@ def render_image_sharded(
     scene = replicate_scene(scene, mesh)
     if stream is not None:
         stream = replicate_scene(stream, mesh)
+    if light_sampler is not None:
+        light_sampler = replicate_scene(light_sampler, mesh)
     if chunk_pixels is None:
         chunk_rays = _pad_to(nray, ndev)
     else:
@@ -184,7 +200,8 @@ def render_image_sharded(
         ids_sh = shard_rays(ids.astype(np.int32), mesh)
         rgb = trace_rays_sharded(
             scene, meta, mesh, ids_sh, amb, width=width, height=height,
-            samples=samples, max_depth=max_depth, stream=stream)
+            samples=samples, max_depth=max_depth, stream=stream,
+            stochastic=stochastic, seed=seed, light_sampler=light_sampler)
         # per-shard host copies: works when the mesh spans hosts and only
         # this process's slabs are addressable (per-host tile ownership,
         # SURVEY.md §2.3 — unowned rows stay zero on this process)
@@ -269,4 +286,69 @@ def train_step(scene, ray_ids, target_rgb, ambient, lr, *, width, height,
 
     loss, grads = jax.value_and_grad(loss_fn)(diff)
     new_diff = [d if g is None else d - lr * g for d, g in zip(diff, grads)]
+    return combine_scene(new_diff, static, treedef), loss
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "treedef", "axis_name", "max_depth",
+                          "max_stack"))
+def _train_step_shmap(diff, static, ray_ids, target_rgb, ambient, lr,
+                      stream, width, height, samples, *, mesh, treedef,
+                      axis_name, max_depth, max_stack):
+    ndev = mesh.devices.size
+
+    def local(diff_, static_, stream_, target_, ambient_, w_, h_, s_, ids_):
+        def loss_fn(d):
+            sc = combine_scene(d, static_, treedef)
+            return render_loss(sc, ids_, target_, ambient_, width=w_,
+                               height=h_, samples=s_, max_depth=max_depth,
+                               max_stack=max_stack, stream=stream_)
+
+        loss, grads = jax.value_and_grad(loss_fn)(diff_)
+        # global-batch mean = psum of equal-shard means / ndev; gradients
+        # of it are the psum of the local gradients / ndev
+        scale = jnp.float32(1.0 / ndev)
+        loss = jax.lax.psum(loss, axis_name) * scale
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axis_name) * scale, grads)
+        return loss, grads
+
+    rep = P()
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, P(axis_name), rep, rep, rep, rep,
+                  P(axis_name)),
+        out_specs=(rep, rep), check_vma=False)
+    loss, grads = fn(diff, static, stream, target_rgb, ambient,
+                     width, height, samples, ray_ids)
+    new_diff = [d if g is None else d - lr * g for d, g in zip(diff, grads)]
+    return new_diff, loss
+
+
+def train_step_sharded(scene, ray_ids, target_rgb, ambient, lr, *, mesh,
+                       width, height, samples, max_depth, max_stack,
+                       trainable=None, stream=None,
+                       axis_name: str = RAY_AXIS):
+    """The production multi-chip training step: ``train_step`` under
+    ``jax.shard_map``.
+
+    Plain jit-SPMD ``train_step`` with sharded ray ids works, but GSPMD
+    partitions the stream intersector's data-dependent while loops with
+    per-iteration ``pred[]`` consensus all-reduces (38 collectives in the
+    compiled module, measured on the 8-device CPU mesh — the same
+    pathology that made ``trace_rays_sharded`` a shard_map). Here each
+    device runs loss+backward on its ray shard as an independent program
+    and the ONLY collectives are the loss psum and one psum per gradient
+    leaf — a contract pinned mechanically by
+    tests/test_sharding.py::test_train_step_sharded_collectives.
+
+    Loss/gradients are the global-batch mean (psum of equal-shard means /
+    n_devices): same value as ``train_step`` up to f32 reduction order.
+    """
+    diff, static, treedef = partition_scene(scene, trainable)
+    new_diff, loss = _train_step_shmap(
+        diff, static, ray_ids, target_rgb, ambient, jnp.float32(lr),
+        stream, jnp.int32(width), jnp.int32(height), jnp.int32(samples),
+        mesh=mesh, treedef=treedef, axis_name=axis_name,
+        max_depth=max_depth, max_stack=max_stack)
     return combine_scene(new_diff, static, treedef), loss

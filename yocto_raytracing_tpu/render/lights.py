@@ -55,19 +55,27 @@ def build_light_sampler(host, dev, meta):
                          - shp.pos[shp.triangles[:, 0]])
             weights.append(
                 (0.5 * np.linalg.norm(c, axis=-1)).astype(np.float32))
+        # an emissive shape with ZERO elements contributes nothing to the
+        # prim pool, so pool_off[shape] is the NEXT shape's first prim —
+        # sampling through it would pick another shape's geometry. Mark it
+        # degenerate: sample_light_points falls back to the deterministic
+        # light position (pos[0]) for that light, keeping the (L,) axis
+        # aligned with scene.light_* order.
+        degenerate = not weights
         w = (np.concatenate(weights) if weights
              else np.ones(1, np.float32))
         lights.append((np.cumsum(w).astype(np.float32),
-                       pool_off[ist.shape]))
+                       pool_off[ist.shape], degenerate))
     if not lights:
         return None
-    emax = max(len(c) for c, _ in lights)
+    emax = max(len(c) for c, _, _ in lights)
     cdf = np.stack([np.pad(c, (0, emax - len(c)), mode="edge")
-                    for c, _ in lights])
+                    for c, _, _ in lights])
     return dict(
         cdf=jnp.asarray(cdf),
-        n=jnp.asarray([len(c) for c, _ in lights], jnp.int32),
-        prim_lo=jnp.asarray([lo for _, lo in lights], jnp.int32),
+        n=jnp.asarray([len(c) for c, _, _ in lights], jnp.int32),
+        prim_lo=jnp.asarray([lo for _, lo, _ in lights], jnp.int32),
+        deg=jnp.asarray([d for _, _, d in lights], bool),
     )
 
 
@@ -89,7 +97,7 @@ def sample_light_points(scene, sampler, ruv):
     idx = jnp.sum((cdf[:, None, :] < x[..., None]).astype(jnp.int32),
                   axis=-1)
     idx = jnp.clip(idx, 0, (nl - 1)[:, None])  # (L, N)
-    prim = lo[:, None] + idx
+    prim = jnp.clip(lo[:, None] + idx, 0, scene.prim_v.shape[0] - 1)
     pv = scene.prim_v[prim]                    # (L, N, 3)
     ptype = scene.prim_type[prim]              # (L, N)
     v0 = scene.pos[pv[..., 0]]                 # (L, N, 3)
@@ -101,5 +109,8 @@ def sample_light_points(scene, sampler, ruv):
         jnp.concatenate([u, v], axis=-1)
         * jnp.ones_like(v0[..., :2]), v0, v1, v2)
     line = v0 * (1.0 - u) + v1 * u
-    return jnp.where((ptype == PRIM_TRIANGLE)[..., None], tri,
-                     jnp.where((ptype == PRIM_LINE)[..., None], line, v0))
+    out = jnp.where((ptype == PRIM_TRIANGLE)[..., None], tri,
+                    jnp.where((ptype == PRIM_LINE)[..., None], line, v0))
+    # element-less emissive shapes: deterministic pos[0] light position
+    return jnp.where(sampler["deg"][:, None, None],
+                     scene.light_pos[:, None, :], out)

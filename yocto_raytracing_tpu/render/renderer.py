@@ -340,8 +340,13 @@ def render_image(
     amb = jnp.asarray([ambient, ambient, ambient], jnp.float32)
     chunk_pixels = min(chunk_pixels, npix)
 
+    # every knob that changes per-chunk pixel values must be in the key, or
+    # a resume silently mixes chunks rendered under different sampling
+    # modes (ambient is f32; its bit pattern keys exactly)
     cfg_key = np.asarray(
-        [width, height, samples, max_depth, chunk_pixels], np.int64)
+        [width, height, samples, max_depth, chunk_pixels,
+         int(stochastic), seed, int(light_sampler is not None),
+         int(np.float32(ambient).view(np.int32))], np.int64)
 
     if not checkpoint:
         # no per-chunk host sync: fused-dispatch path, pixels visited in
@@ -394,7 +399,8 @@ def render_image(
 
         if os.path.exists(checkpoint):
             snap = np.load(checkpoint)
-            if (snap["key"] == cfg_key).all():
+            if (snap["key"].shape == cfg_key.shape
+                    and (snap["key"] == cfg_key).all()):
                 resume_from = int(snap["done"])
                 out[:resume_from] = snap["acc"]
 
