@@ -9,8 +9,13 @@ Two settings per scene:
 
 The oracle is the g++ -O3 rebuild of the reference
 (scripts/measure_reference.py builds it at /tmp/refsrc/bin/raytrace).
-The lines scene's .obj is missing from the upstream snapshot (SURVEY §4),
-so it is covered qualitatively by the synthesized hair scene in tests.
+The lines scene's .obj is missing from the upstream snapshot (SURVEY §4);
+"lines" here synthesizes the stand-in hair scene (testscenes.
+make_hair_scene, seeded -> reproducible), writes it to OBJ through
+io/objwriter, and renders THAT file with both renderers — the reference
+binary parses the l/vr extensions itself, so its capsule intersector
+(src/scene.cpp:285-307) and hair BRDF (src/raytrace.cpp:162-175) are the
+oracle, not our own goldens.
 
 Usage: python scripts/parity_check.py [--full] [scenes...]
 """
@@ -23,8 +28,23 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 BIN = "/tmp/refsrc/bin/raytrace"
-SCENES = ["simple", "basic", "refl", "instance10000"]
+SCENES = ["simple", "basic", "refl", "lines", "instance10000"]
+LINES_OBJ = "/tmp/lines_scene/lines_pointlight.obj"
+
+
+def ensure_lines_obj():
+    """Synthesize the lines stand-in scene and write it to OBJ (seeded,
+    so repeated runs produce a bit-identical file)."""
+    if os.path.exists(LINES_OBJ):
+        return
+    from yocto_raytracing_tpu import testscenes
+    from yocto_raytracing_tpu.io import objwriter
+
+    os.makedirs(os.path.dirname(LINES_OBJ), exist_ok=True)
+    objwriter.save_obj(testscenes.make_hair_scene(256), LINES_OBJ)
 
 
 def ensure_oracle():
@@ -34,12 +54,21 @@ def ensure_oracle():
     build_reference()
 
 
+def scene_obj(scene, for_oracle):
+    if scene == "lines":
+        ensure_lines_obj()
+        return LINES_OBJ
+    root = "/tmp/refsrc" if for_oracle else "/root/reference"
+    return f"{root}/in/{scene}_pointlight/{scene}_pointlight.obj"
+
+
 def oracle_png(scene, res, s):
     out = f"/tmp/ref_{scene}_{res}_s{s}.png"
     if not os.path.exists(out):
-        obj = f"/tmp/refsrc/in/{scene}_pointlight/{scene}_pointlight.obj"
+        obj = scene_obj(scene, for_oracle=True)
         subprocess.run([BIN, "-r", str(res), "-s", str(s), "-o", out, obj],
-                       check=True, capture_output=True)
+                       check=True, capture_output=True,
+                       cwd=os.path.dirname(obj))
     from PIL import Image
 
     with Image.open(out) as im:
@@ -50,7 +79,7 @@ def ours_png(scene, res, s):
     from yocto_raytracing_tpu import image as image_mod
     from yocto_raytracing_tpu.render import renderer
 
-    obj = f"/root/reference/in/{scene}_pointlight/{scene}_pointlight.obj"
+    obj = scene_obj(scene, for_oracle=False)
     t0 = time.perf_counter()
     out, *_ = renderer.render_scene_file(obj, resolution=res, samples=s,
                                          max_depth=8)
@@ -106,10 +135,12 @@ def main():
             "of pixels off by more than 1 step are accepted only on the\n"
             "instance scene (exact-equal hit-distance ties between\n"
             "abutting coplanar prims resolve by f32-vs-SSE rounding at\n"
-            "grazing incidence — see .claude/skills/verify/SKILL.md).\n"
-            "The lines scene's .obj is absent upstream; the hair path is\n"
-            "validated against committed goldens of the synthesized hair\n"
-            "scene (tests/test_hair.py).\n"
+            "grazing incidence — see .claude/skills/verify/SKILL.md) and,\n"
+            "at 9 spp, isolated silhouette-boundary samples on every\n"
+            "scene. The lines scene's .obj is absent upstream; its row\n"
+            "renders the synthesized hair scene written out to OBJ through\n"
+            "io/objwriter with BOTH renderers (the reference binary parses\n"
+            "the l/vr extensions itself — see module docstring).\n"
             "\nGenerated by scripts/parity_check.py --full.\n")
     print(f"wrote {path}")
     return 0

@@ -45,6 +45,26 @@ def test_golden_parity_instance10000(goldens_dir):
                         max_off_by_2=2)
 
 
+def test_golden_parity_lines(goldens_dir, tmp_path):
+    """The reference's fifth acceptance scene (lines/hair). Its .obj is
+    missing upstream (SURVEY §4), so the oracle render was produced by
+    pointing the rebuilt reference binary at OUR synthesized hair scene
+    written out through io/objwriter — closing the loop on the capsule
+    intersector (src/scene.cpp:285-307) and hair BRDF
+    (src/raytrace.cpp:162-175) against the real C++ implementation.
+    make_hair_scene is seeded, so the regenerated OBJ is bit-identical
+    to the one the golden was rendered from (scripts/parity_check.py)."""
+    from yocto_raytracing_tpu import testscenes
+    from yocto_raytracing_tpu.io import objwriter
+
+    host = testscenes.make_hair_scene(256)
+    obj = tmp_path / "lines_pointlight.obj"
+    objwriter.save_obj(host, str(obj))
+    img, *_ = renderer.render_scene_file(str(obj), resolution=96, samples=1)
+    ldr = image_mod.tonemap(img)
+    assert_golden_match(ldr, os.path.join(goldens_dir, "lines_96_s1.png"))
+
+
 def test_render_is_deterministic():
     a = _render_ldr("simple", 48, 1)
     b = _render_ldr("simple", 48, 1)
