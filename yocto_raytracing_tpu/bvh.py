@@ -71,28 +71,46 @@ def _std_partition(idx: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return out
 
 
-def _build_tree(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
+def _build_tree(bbox_min: np.ndarray, bbox_max: np.ndarray,
+                equal_num: bool = False) -> _Tree:
     """Build one BVH over prims given per-prim bboxes.
 
-    Parity with make_node/split_prims (src/scene.cpp:572-639), equal_num =
-    false (midpoint partition), the mode main() uses (src/raytrace.cpp:278),
-    including std::partition's exact element order (_std_partition).
+    Parity with make_node/split_prims (src/scene.cpp:572-639). The default
+    ``equal_num=False`` is the midpoint partition main() uses
+    (src/raytrace.cpp:278), including std::partition's exact element order
+    (_std_partition). ``equal_num=True`` is the API's other split mode
+    (src/scene.cpp:622-627): median split via std::nth_element — see
+    _build_tree_python for the contract matched.
     Dispatches to the native C++ builder when available (identical output,
     asserted by tests).
     """
     from . import native
 
-    nat = native.build_tree_native(bbox_min, bbox_max)
-    if nat is not None:
-        nb_min, nb_max, start, count, isleaf, leaf_prims, height = nat
-        return _Tree(bbox_min=nb_min, bbox_max=nb_max, start=start,
-                     count=count, isleaf=isleaf, leaf_prims=leaf_prims,
-                     height=int(height))
-    return _build_tree_python(bbox_min, bbox_max)
+    if not equal_num:
+        nat = native.build_tree_native(bbox_min, bbox_max)
+        if nat is not None:
+            nb_min, nb_max, start, count, isleaf, leaf_prims, height = nat
+            return _Tree(bbox_min=nb_min, bbox_max=nb_max, start=start,
+                         count=count, isleaf=isleaf, leaf_prims=leaf_prims,
+                         height=int(height))
+    return _build_tree_python(bbox_min, bbox_max, equal_num=equal_num)
 
 
-def _build_tree_python(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
-    """Pure-numpy reference implementation of _build_tree."""
+def _build_tree_python(bbox_min: np.ndarray, bbox_max: np.ndarray,
+                       equal_num: bool = False) -> _Tree:
+    """Pure-numpy reference implementation of _build_tree.
+
+    ``equal_num=True`` reproduces the nth_element median split
+    (src/scene.cpp:622-627): mid = (start+end)/2, and after the split every
+    centroid left of mid compares <= every centroid from mid on — the
+    guarantee std::nth_element makes. np.argpartition (also introselect)
+    provides exactly that contract; the intra-half element ORDER is
+    implementation-defined in both libraries, and since the reference
+    binary never executes this mode (main passes equal_num=false,
+    src/raytrace.cpp:278) there is no oracle render to pin an order
+    against — the conformance bar is the property test
+    (tests/test_bvh.py: equal_num tree ≡ brute force ≡ midpoint tree).
+    """
     n = len(bbox_min)
     centers = (bbox_min + bbox_max) * 0.5
     order = np.arange(n, dtype=np.int32)
@@ -132,12 +150,20 @@ def _build_tree_python(bbox_min: np.ndarray, bbox_max: np.ndarray) -> _Tree:
                     axis = 1
                 else:
                     axis = 2
-                half = (cmin[axis] + cmax[axis]) * 0.5
-                mask = c[:, axis] < half
-                mid = s + int(mask.sum())
-                if s < mid < e:
-                    order[s:e] = _std_partition(idx, mask)
+                if equal_num:
+                    # median split (scene.cpp:623-627): always succeeds
+                    # once the centroid extent is non-degenerate
+                    mid = (s + e) // 2
+                    part = np.argpartition(c[:, axis], mid - s)
+                    order[s:e] = idx[part.astype(np.int32)]
                     split_ok = True
+                else:
+                    half = (cmin[axis] + cmax[axis]) * 0.5
+                    mask = c[:, axis] < half
+                    mid = s + int(mask.sum())
+                    if s < mid < e:
+                        order[s:e] = _std_partition(idx, mask)
+                        split_ok = True
 
         if not split_ok:
             nleaf[nid] = 1
@@ -244,12 +270,17 @@ def bbox_to_world(axes: np.ndarray, o: np.ndarray,
     return w.min(axis=0), w.max(axis=0)
 
 
-def build_scene_bvh(host, shape_prim_offset: list) -> FlatBVH:
-    """Build all shape trees + the scene tree, flattened into one pool."""
+def build_scene_bvh(host, shape_prim_offset: list,
+                    equal_num: bool = False) -> FlatBVH:
+    """Build all shape trees + the scene tree, flattened into one pool.
+
+    ``equal_num`` selects the reference build_bvh API's split mode
+    (src/scene.cpp:652 argument): False = midpoint partition (what main
+    runs), True = nth_element median split."""
     trees = []
     for shp in host.shapes:
         bmin, bmax = _shape_prim_bounds(shp)
-        trees.append(_build_tree(bmin, bmax))
+        trees.append(_build_tree(bmin, bmax, equal_num=equal_num))
 
     # scene tree over world-space instance bboxes (src/scene.cpp:554-565)
     ib_min = np.empty((len(host.instances), 3), np.float32)
@@ -258,7 +289,7 @@ def build_scene_bvh(host, shape_prim_offset: list) -> FlatBVH:
         t = trees[ist.shape]
         ib_min[k], ib_max[k] = bbox_to_world(
             ist.axes, ist.o, t.bbox_min[0], t.bbox_max[0])
-    scene_tree = _build_tree(ib_min, ib_max)
+    scene_tree = _build_tree(ib_min, ib_max, equal_num=equal_num)
 
     # flatten: scene tree first, then shape trees
     all_trees = [scene_tree] + trees

@@ -565,8 +565,12 @@ def pack_texel_quads(ldr: np.ndarray) -> np.ndarray:
     return np.stack([p, px, py, pxy], axis=-1)
 
 
-def build_device_scene(host: HostScene, camera: int = 0):
-    """HostScene -> (DeviceScene numpy pytree, SceneMeta). BVH included."""
+def build_device_scene(host: HostScene, camera: int = 0,
+                       equal_num: bool = False):
+    """HostScene -> (DeviceScene numpy pytree, SceneMeta). BVH included.
+
+    ``equal_num`` is the reference build_bvh API's split-mode argument
+    (src/scene.cpp:652; main passes false, src/raytrace.cpp:278)."""
     from . import bvh as bvh_mod
 
     # ---- vertex + prim pools
@@ -610,7 +614,7 @@ def build_device_scene(host: HostScene, camera: int = 0):
                  if primt_l else np.zeros(0, np.int32))
 
     # ---- BVH build (shape trees + scene tree, flattened)
-    flat = bvh_mod.build_scene_bvh(host, prim_off)
+    flat = bvh_mod.build_scene_bvh(host, prim_off, equal_num=equal_num)
 
     # ---- instances
     inst_axes = np.stack([i.axes for i in host.instances]).astype(np.float32)
