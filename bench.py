@@ -50,7 +50,7 @@ def load_baselines():
     return out
 
 
-def best_of(fn, reps=2):
+def best_of(fn, reps=3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -59,13 +59,69 @@ def best_of(fn, reps=2):
     return best
 
 
-def emit(metric, mrays, baseline):
-    print(json.dumps({
+def measure_d2h(mb=1):
+    """Measured device->host rate (MB/s) at bench time. The tunnel's d2h
+    fluctuates 0.5-25 MB/s by the hour (PERF.md); recording it beside
+    each wall number separates code deltas from tunnel weather."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    buf = jnp.ones((mb << 20,), jnp.uint8) + jnp.uint8(1)
+    float(buf[0])  # force materialization before timing the copy
+    t0 = time.perf_counter()
+    np.asarray(buf)
+    dt = time.perf_counter() - t0
+    return (mb << 20) / dt / 1e6
+
+
+def emit(metric, mrays, baseline, **extra):
+    rec = {
         "metric": metric,
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 3) if baseline else None,
-    }), flush=True)
+    }
+    rec.update({k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in extra.items()})
+    print(json.dumps(rec), flush=True)
+
+
+def device_seconds(dscene, meta, stream, width, height, samples, max_depth,
+                   reps=3, n_super=4):
+    """Device-only frame seconds: the fused whole-frame dispatch issued as
+    ``n_super`` sequential super-chunks, each synced by a 1-element d2h
+    (4 bytes — sub-ms against multi-second compute), so the measurement
+    excludes the frame-sized device->host transfer that rides the
+    fluctuating tunnel. Mirrors scripts/sweep_stream.py's method inside
+    the bench so BENCH_r*.json carries both numbers (VERDICT r3 #8)."""
+    import jax.numpy as jnp
+
+    from yocto_raytracing_tpu.render import renderer
+    from yocto_raytracing_tpu.ops import stream as stream_mod
+
+    spp = samples * samples
+    npix = width * height
+    chunk = 1 << 14
+    n_chunks = -(-npix // chunk)
+    _, perm_dev = renderer._tile_perm_cached(width, height, spp,
+                                             stream_mod.BLOCK_RAYS)
+    amb = jnp.asarray([0.1] * 3, jnp.float32)
+    per = -(-n_chunks // n_super)
+    w_t, h_t, s_t = jnp.int32(width), jnp.int32(height), jnp.int32(samples)
+
+    def frame():
+        for si in range(0, n_chunks, per):
+            s = renderer._render_chunks_fused(
+                dscene, amb, w_t, h_t, s_t, chunk_pixels=chunk,
+                n_chunks=min(per, n_chunks - si), spp=spp,
+                max_depth=max_depth, max_stack=meta.max_stack,
+                stream=stream, has_kd_textures=meta.has_kd_textures,
+                has_ks_textures=meta.has_ks_textures, perm=perm_dev,
+                chunk_offset=jnp.int32(si), ldr=True)
+            assert int(s[0, 0]) >= 0   # 4-byte d2h: completion barrier
+
+    frame()  # compile (shares the render_image executable cache)
+    return best_of(frame, reps)
 
 
 def build(path, fallback=None):
