@@ -164,6 +164,8 @@ def main():
     kw = dict(width=width, height=height, samples=4, max_depth=4,
               max_stack=meta.max_stack, stream=stream)
 
+    d2h_rate = measure_d2h()
+
     def step():
         out, loss = mesh_mod.train_step(dscene, ids, target, amb,
                                         jnp.float32(0.0), **kw)
@@ -174,11 +176,15 @@ def main():
     step()  # compile
     dt = best_of(step)
     # fwd+bwd has no reference analogue (the C++ has no gradients); report
-    # vs the same scene's forward baseline for scale
+    # vs the same scene's forward baseline for scale. The step's only d2h
+    # is the scalar loss, so wall ~= device here.
     emit("refl_512p_16spp_fwd_bwd", n / dt / 1e6,
-         baselines["refl_512p_16spp"])
+         baselines["refl_512p_16spp"], wall_s=dt, reps=3,
+         d2h_MBps=d2h_rate)
 
-    # ---- 2. instance10000 forward (config 5) ----
+    # ---- 1b. instance10000 fwd+bwd (config 5 is the sharded-training
+    # scene; same train_step on a bench-sized ray batch at its 1024p
+    # camera geometry) ----
     def fallback_inst():
         from yocto_raytracing_tpu import testscenes
 
@@ -187,6 +193,22 @@ def main():
     dscene_i, meta_i, stream_i, host_i = build(INST, fallback_inst)
     cam_i = host_i.cameras[0]
     width_i = renderer.image_width(cam_i.aspect, 1024)
+
+    kw_ib = dict(width=width_i, height=1024, samples=8, max_depth=4,
+                 max_stack=meta_i.max_stack, stream=stream_i)
+    target_i = jnp.zeros((n, 3), jnp.float32)
+
+    def step_i():
+        _, loss = mesh_mod.train_step(dscene_i, ids, target_i, amb,
+                                      jnp.float32(0.0), **kw_ib)
+        assert np.isfinite(float(loss))
+
+    step_i()  # compile
+    dt_ib = best_of(step_i)
+    emit("instance10000_1024p_fwd_bwd", n / dt_ib / 1e6,
+         baselines.get("instance10000_1024p_64spp"), wall_s=dt_ib, reps=3)
+
+    # ---- 2. instance10000 forward (config 5) ----
     kwi = dict(samples=8, ambient=0.1, max_depth=4,
                chunk_pixels=1 << 14, stream=stream_i, ldr=True)
     renderer.render_image(dscene_i, meta_i, width_i, 1024, **kwi)  # compile
@@ -194,8 +216,13 @@ def main():
     img_i = renderer.render_image(dscene_i, meta_i, width_i, 1024, **kwi)
     dt_i = time.perf_counter() - t0
     rays_i = width_i * 1024 * 64
+    # no separate device measurement: at this frame size the d2h is fully
+    # overlapped — a dedicated device_seconds run measured 195.19 s device
+    # vs 195.31 s wall (0.06%, r4), so wall IS the device number here and
+    # a second 3-minute render would just burn bench budget
     emit("instance10000_1024p_64spp_fwd", rays_i / dt_i / 1e6,
-         baselines.get("instance10000_1024p_64spp"))
+         baselines.get("instance10000_1024p_64spp"), wall_s=dt_i,
+         device_eq_wall=True, reps=1)
     assert img_i.shape == (1024, width_i, 4) and int(img_i[..., :3].max()) > 0
 
     # ---- 3. refl fwd (headline; LAST line for the driver) ----
@@ -211,8 +238,12 @@ def main():
                                                   height, **kwf)
 
     dt_f = best_of(frame)
+    dev_f = device_seconds(dscene, meta, stream, width, height, 4,
+                           max_depth=4)
     emit("refl_512p_16spp_fwd", rays / dt_f / 1e6,
-         baselines["refl_512p_16spp"])
+         baselines["refl_512p_16spp"], wall_s=dt_f, device_s=dev_f,
+         device_mrays=rays / dev_f / 1e6, d2h_MBps=measure_d2h(),
+         reps=3)
     img = img_holder["img"]
     assert img.shape == (height, width, 4) and int(img[..., :3].max()) > 0
     return 0

@@ -146,3 +146,33 @@ def test_stream_golden_render():
         image_mod.tonemap(img),
         os.path.join(os.path.dirname(__file__), "goldens",
                      "simple_96_s1.png"))
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_flat2_hybrid_path_matches_loop_path(seed):
+    """The r4 hybrid pair-worklist scan (YRT_FLAT_SCAN=2): flat's single
+    fori, but the local ray is RECOMPUTED per pair from gathered
+    instance params with the loop path's exact transform ops. Contract:
+    bit-identical hits/prims/t vs the PRODUCTION loop path (same f32
+    ops in the same DFS fold order — only the control structure
+    differs), plus hit-set equality vs the traversal oracle. (The
+    oracle's t can differ by tens of ULPs on grazing capsules — the
+    documented fusion-amplification class, tie_forensics.py — which is
+    why the loop path, not the oracle, is the bit-parity reference.)"""
+    dev, meta, ss = _build(testscenes.make_random_scene(seed=seed))
+    ro, rd, tmin, tmax = _rays(seed + 40, 512)
+    a = traverse.intersect_scene(dev, ro, rd, tmin, tmax,
+                                 max_stack=meta.max_stack)
+    loop = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax)
+    b = stream_mod._intersect_block_flat2(ss, ro, rd, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(a["hit"]),
+                                  np.asarray(b["hit"]))
+    for key in ("hit", "inst", "prim", "t"):
+        np.testing.assert_array_equal(np.asarray(loop[key]),
+                                      np.asarray(b[key]), err_msg=key)
+    c = stream_mod._intersect_block_flat2(ss, ro, rd, tmin, tmax,
+                                          any_hit=True)
+    a2 = traverse.intersect_scene(dev, ro, rd, tmin, tmax, any_hit=True,
+                                  max_stack=meta.max_stack)
+    np.testing.assert_array_equal(np.asarray(a2["hit"]),
+                                  np.asarray(c["hit"]))

@@ -596,6 +596,110 @@ def _intersect_block_flat(
     )
 
 
+@partial(jax.jit, static_argnames=("any_hit",))
+def _intersect_block_flat2(
+    stream: StreamScene,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    any_hit: bool = False,
+):
+    """Hybrid pair-worklist scan: flat's single fori, loop path's math.
+
+    The r3 flat path (_intersect_block_flat) removed the ~3 sequencer
+    regions per surviving instance but paid for it with per-pair dynamic
+    ROW-SLICES of (I, N) stacked local-ray planes — measured 25% slower.
+    This variant keeps the flat structure (static Python instance stage
+    building one (N, PAIRS) mask; ONE fori over compacted survivor
+    pairs) but inside the loop body RECOMPUTES the instance-local ray
+    from 12 gathered instance scalars (inst_axes/inst_o) instead of
+    slicing stacks: ~20 N-wide VPU ops per pair, no (I, N) intermediates
+    in HBM, no dynamic row-slices. Same dense tests in the same DFS pair
+    order with the same folds (module invariant; parity-tested in
+    tests/test_stream.py). A/B vs the loop path: PERF.md r4.
+    """
+    n_inst = len(stream.s_n_cl)
+    n_pairs = sum(stream.s_n_cl)
+    n = ro.shape[0]
+    ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
+    dx, dy, dz = rd[:, 0], rd[:, 1], rd[:, 2]
+
+    init = dict(
+        t=tmax.astype(jnp.float32),
+        hit_inst=jnp.full((n,), -1, jnp.int32),
+        hit_prim=jnp.full((n,), -1, jnp.int32),
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER), 1)
+    tmin_b = tmin[:, None]
+
+    # static instance stage: per-pair masks only (local planes are NOT
+    # kept — the body recomputes them), no control-flow regions
+    masks = []
+    pair_inst_l, pair_cl_l = [], []
+    for k in range(n_inst):
+        A = stream.inst_axes[k]
+        o = stream.inst_o[k]
+        lo3, _, il3 = _local_ray_planes(A, o, ox, oy, oz, dx, dy, dz)
+        base = stream.s_cl_base[k]
+        nc = stream.s_n_cl[k]
+        cbn = stream.cb_min[base:base + nc]              # static slice
+        cbx = stream.cb_max[base:base + nc]
+        m = _bbox_hit(lo3[0][:, None], lo3[1][:, None], lo3[2][:, None],
+                      il3[0][:, None], il3[1][:, None], il3[2][:, None],
+                      tmin[:, None], tmax[:, None],
+                      (cbn[None, :, 0], cbn[None, :, 1], cbn[None, :, 2]),
+                      (cbx[None, :, 0], cbx[None, :, 1], cbx[None, :, 2]))
+        masks.append(m)                                   # (N, nc)
+        pair_inst_l.extend([k] * nc)
+        pair_cl_l.extend(range(base, base + nc))
+
+    pair_mask = jnp.concatenate(masks, axis=1)            # (N, PAIRS)
+    pair_inst = jnp.asarray(pair_inst_l, jnp.int32)
+    pair_cl = jnp.asarray(pair_cl_l, jnp.int32)
+
+    psurv = jnp.any(pair_mask, axis=0)                    # (PAIRS,)
+    work = jnp.nonzero(psurv, size=n_pairs,
+                       fill_value=0)[0].astype(jnp.int32)
+    n_work = jnp.sum(psurv.astype(jnp.int32))
+
+    def body(w, st):
+        for j in range(UNROLL):
+            idx = w * UNROLL + j
+            valid = idx < n_work
+            p = work[jnp.minimum(idx, n_pairs - 1)]
+            ii = pair_inst[p]
+            c = pair_cl[p]
+            # recompute the local ray from gathered instance params —
+            # the loop path's exact transform ops (parity)
+            A = stream.inst_axes[ii]
+            o = stream.inst_o[ii]
+            lo3, ld3, il3 = _local_ray_planes(A, o, ox, oy, oz,
+                                              dx, dy, dz)
+            lox, loy, loz = lo3
+            ldx, ldy, ldz = ld3
+            active = valid & _bbox_hit(lox, loy, loz, il3[0], il3[1],
+                                       il3[2], tmin, st["t"],
+                                       stream.cb_min[c],
+                                       stream.cb_max[c])
+            if any_hit:
+                active = active & (st["hit_prim"] < 0)
+            st = _dense_test(stream, st, c, stream.inst_id[ii],
+                             (lox[:, None], loy[:, None], loz[:, None]),
+                             (ldx[:, None], ldy[:, None], ldz[:, None]),
+                             active, tmin_b, lane)
+        return st
+
+    n_iter_max = (n_work + UNROLL - 1) // UNROLL
+    out = jax.lax.fori_loop(0, n_iter_max, body, init)
+    return dict(
+        hit=out["hit_prim"] >= 0,
+        inst=out["hit_inst"],
+        prim=out["hit_prim"],
+        t=out["t"],
+    )
+
+
 BLOCK_RAYS = 4096  # rays per skip-granularity block (tile-matched; with
 #                    tile-ordered pixels a block is a compact screen tile
 #                    and larger blocks amortize region overhead — measured
@@ -607,10 +711,13 @@ UNROLL = 4         # clusters tested per worklist-loop iteration
 # per-pair dynamic row-slices of the stacked local-ray planes and the
 # weaker initial-tmax masks cost more than the ~3 regions/instance they
 # save. Kept (parity-tested, tests/test_stream.py runs both) as the
-# documented experiment — see PERF.md.
+# documented experiment — see PERF.md. YRT_FLAT_SCAN=2 selects the r4
+# hybrid (_intersect_block_flat2: flat structure, per-pair transform
+# recompute) — A/B in PERF.md r4.
 import os as _os  # noqa: E402
 
-FORCE_LOOP_PATH = _os.environ.get("YRT_FLAT_SCAN", "") != "1"
+_FLAT_ENV = _os.environ.get("YRT_FLAT_SCAN", "")
+FORCE_LOOP_PATH = _FLAT_ENV not in ("1", "2")
 
 
 @partial(jax.jit, static_argnames=("any_hit", "flat"))
@@ -642,7 +749,9 @@ def intersect_stream(
     if flat is None:
         flat = not FORCE_LOOP_PATH
     flat = flat and len(stream.s_n_cl) <= 32 and 0 < n_pairs <= 512
-    block_fn = _intersect_block_flat if flat else _intersect_block
+    flat_fn = (_intersect_block_flat2 if _FLAT_ENV == "2"
+               else _intersect_block_flat)
+    block_fn = flat_fn if flat else _intersect_block
     if n > BLOCK_RAYS:
         pad = (-n) % BLOCK_RAYS
         def pad0(x, v=0):

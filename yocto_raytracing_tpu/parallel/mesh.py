@@ -248,7 +248,7 @@ def combine_scene(diff, static, treedef):
 
 
 def render_loss(scene, ray_ids, target_rgb, ambient, *, width, height,
-                samples, max_depth, max_stack, stream=None):
+                samples, max_depth, max_stack, stream=None, remat=True):
     """Mean-squared error between rendered radiance and a target, per ray.
 
     The differentiable objective used by train_step and the gradient parity
@@ -261,13 +261,15 @@ def render_loss(scene, ray_ids, target_rgb, ambient, *, width, height,
     rgb = renderer_mod.trace_rays(
         scene, ray_ids, ambient, width=width, height=height, samples=samples,
         max_depth=max_depth, max_stack=max_stack, differentiable=True,
-        stream=stream)
+        stream=stream, remat=remat)
     return jnp.mean((rgb - target_rgb) ** 2)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "max_stack", "trainable"))
+@partial(jax.jit, static_argnames=("max_depth", "max_stack", "trainable",
+                                   "remat"))
 def train_step(scene, ray_ids, target_rgb, ambient, lr, *, width, height,
-               samples, max_depth, max_stack, trainable=None, stream=None):
+               samples, max_depth, max_stack, trainable=None, stream=None,
+               remat=True):
     """One SGD step on every differentiable scene leaf.
 
     The full inverse-rendering training step: forward render, MSE loss,
@@ -282,7 +284,7 @@ def train_step(scene, ray_ids, target_rgb, ambient, lr, *, width, height,
         return render_loss(sc, ray_ids, target_rgb, ambient, width=width,
                            height=height, samples=samples,
                            max_depth=max_depth, max_stack=max_stack,
-                           stream=stream)
+                           stream=stream, remat=remat)
 
     loss, grads = jax.value_and_grad(loss_fn)(diff)
     new_diff = [d if g is None else d - lr * g for d, g in zip(diff, grads)]

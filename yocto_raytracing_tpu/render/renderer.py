@@ -165,7 +165,8 @@ def _render_chunks_fused(scene, ambient, width, height, samples,
 
 @partial(jax.jit, static_argnames=("max_depth", "max_stack",
                                    "differentiable", "has_kd_textures",
-                                   "has_ks_textures", "stochastic"))
+                                   "has_ks_textures", "stochastic",
+                                   "remat"))
 def trace_rays(
     scene,
     ray_ids: jnp.ndarray,   # (N,) flat ray ids (pixel-major, spp-minor)
@@ -182,6 +183,11 @@ def trace_rays(
     stochastic: bool = False,       # jittered AA + thin-lens DOF
     rng_key=None,                   # u32 seed (required if stochastic)
     light_sampler=None,             # render/lights.py tables -> area lights
+    remat: bool = True,             # checkpoint the differentiable depth
+                                    # step: with the batch-dead cond-skip
+                                    # it is the measured winner (2.04 vs
+                                    # 1.69 Mrays/s fwd+bwd on the bench
+                                    # config; GRADIENTS.md)
 ):
     """Radiance for a batch of primary rays. Returns (N, 3) linear RGB.
 
@@ -260,6 +266,12 @@ def trace_rays(
             jax.lax.stop_gradient(st["rd"]), tmin,
             jnp.where(st["active"], FLT_MAX, -FLT_MAX), False)
         hits = jax.lax.stop_gradient(hits)
+        # named for the remat policy: the hit topology is SAVED across
+        # the backward (never recompute the traversal), while shading
+        # intermediates are rematerialized from it
+        from jax.ad_checkpoint import checkpoint_name
+
+        hits = {k: checkpoint_name(v, "hits") for k, v in hits.items()}
         color, kr, p, refl_dir, mask = shade_mod.shade_step(
             scene, st["ro"], st["rd"], hits, ambient, st["active"], occluder,
             has_kd_textures=has_kd_textures,
@@ -281,8 +293,33 @@ def trace_rays(
         active=jnp.ones((n,), bool),
     )
     if differentiable:
+        # remat the depth step: the scan body's forward saves per-bounce
+        # residuals (hit recompute intermediates, texture quads, light
+        # geometry — many (N,*) buffers x max_depth) that the backward
+        # then re-reads from HBM; recomputing the bounce from its carry
+        # costs VPU flops the TPU has to spare and drops the residual
+        # traffic to the carry alone. The save_only_these_names policy
+        # keeps the traversal outputs ("hits") as saved residuals so the
+        # backward NEVER replays the intersect scan — only the shading
+        # recompute. Measured on the fwd+bwd bench: see GRADIENTS.md.
+        body_d = (jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("hits"))
+            if remat else body)
+
+        # batch-dead early exit inside the scan: once NO lane is active
+        # (on the refl bench depths 2-3 are globally dead — all mirror
+        # paths terminate by bounce 2) the step is an identity, skipping
+        # the intersect + shade entirely. Identical results to the
+        # while_loop path by the same argument as its cond; lax.cond is
+        # reverse-mode transposable so grads flow unchanged (dead steps
+        # contribute identity cotangents). Measured: differentiable fwd
+        # 101.5 -> 70.6 ms (= the while_loop fwd), train_step 1.38 ->
+        # 2.04 Mrays/s with remat on the bench config (GRADIENTS.md).
         def scan_body(st, _):
-            return body(st), None
+            st2 = jax.lax.cond(jnp.any(st["active"]), body_d,
+                               lambda s: s, st)
+            return st2, None
 
         out, _ = jax.lax.scan(scan_body, state, None, length=max_depth)
     else:
