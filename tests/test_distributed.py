@@ -83,3 +83,26 @@ def test_shard_rays_round_trip():
     got = np.sort(np.concatenate(
         [np.asarray(s.data).ravel() for s in arr.addressable_shards]))
     np.testing.assert_array_equal(got, ids)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_run():
+    """The REAL multi-process path (no mocks): scripts/run_distributed.py
+    spawns two local CPU workers with a 127.0.0.1 coordinator, runs
+    jax.distributed.initialize, a global-mesh sharded render, and one
+    cross-process train_step_sharded; the launcher asserts disjoint
+    ownership, bit-identity with the single-process render, and
+    loss agreement (SCALING.md r4)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "run_distributed.py")],
+        capture_output=True, text=True, timeout=900,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK: 2-process jax.distributed render bit-identical" in r.stdout

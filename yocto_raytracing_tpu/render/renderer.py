@@ -238,7 +238,13 @@ def trace_rays(
         res = isect_fn(
             p.reshape(-1, 3), d.reshape(-1, 3), tmin.reshape(-1),
             jnp.where(mask, tmax, -FLT_MAX).reshape(-1), True)
-        return res["hit"].reshape(shape)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # tagged like the nearest-hit topology: under remat the shadow
+        # scans must be SAVED, never replayed — untagged, the backward
+        # re-ran them and remat lost 43% on instance10000 (GRADIENTS.md)
+        vis = checkpoint_name(res["hit"], "hits")
+        return vis.reshape(shape)
 
     tmin = jnp.full((n,), RAY_EPS)
 
