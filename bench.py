@@ -103,8 +103,9 @@ def device_seconds(dscene, meta, stream, width, height, samples, max_depth,
     npix = width * height
     chunk = 1 << 14
     n_chunks = -(-npix // chunk)
-    _, perm_dev = renderer._tile_perm_cached(width, height, spp,
-                                             stream_mod.BLOCK_RAYS)
+    block = stream_mod.effective_block_unroll(
+        stream.inst_wb_min.shape[0])[0]
+    _, perm_dev = renderer._tile_perm_cached(width, height, spp, block)
     amb = jnp.asarray([0.1] * 3, jnp.float32)
     per = -(-n_chunks // n_super)
     w_t, h_t, s_t = jnp.int32(width), jnp.int32(height), jnp.int32(samples)
@@ -153,12 +154,26 @@ def main():
     baselines = load_baselines()
 
     # ---- 1. refl fwd+bwd (train_step on one bench-sized ray batch) ----
+    from yocto_raytracing_tpu.ops import stream as stream_lib
+
     dscene, meta, stream, host = build(REFL)
     cam = host.cameras[0]
     width = renderer.image_width(cam.aspect, 512)
     height = 512
     n = 1 << 18  # 262144 rays/step, the fused path's chunk size
-    ids = jnp.arange(n, dtype=jnp.int32)
+    # training batches are TILE-ordered, like the production render path:
+    # the intersector culls per ray block, and a block of scanline rays
+    # spans a screen-wide strip whose cluster worklist is several times a
+    # compact tile's (tile_permutation docstring). A real training
+    # sampler controls its own batch order, so the bench orders its batch
+    # the way any production pipeline would.
+    spp = 16
+    block_r = stream_lib.effective_block_unroll(
+        stream.inst_wb_min.shape[0])[0]
+    perm_np, _ = renderer._tile_perm_cached(width, height, spp, block_r)
+    ids_np = (perm_np[: n // spp].astype(np.int64)[:, None] * spp
+              + np.arange(spp)[None, :]).reshape(-1).astype(np.int32)
+    ids = jnp.asarray(ids_np)
     amb = jnp.asarray([0.1] * 3, jnp.float32)
     target = jnp.zeros((n, 3), jnp.float32)
     kw = dict(width=width, height=height, samples=4, max_depth=4,
@@ -197,9 +212,16 @@ def main():
     kw_ib = dict(width=width_i, height=1024, samples=8, max_depth=4,
                  max_stack=meta_i.max_stack, stream=stream_i)
     target_i = jnp.zeros((n, 3), jnp.float32)
+    # tile-ordered batch at this config's geometry (64 spp)
+    block_i = stream_lib.effective_block_unroll(
+        stream_i.inst_wb_min.shape[0])[0]
+    perm_i, _ = renderer._tile_perm_cached(width_i, 1024, 64, block_i)
+    ids_i = jnp.asarray(
+        (perm_i[: n // 64].astype(np.int64)[:, None] * 64
+         + np.arange(64)[None, :]).reshape(-1).astype(np.int32))
 
     def step_i():
-        _, loss = mesh_mod.train_step(dscene_i, ids, target_i, amb,
+        _, loss = mesh_mod.train_step(dscene_i, ids_i, target_i, amb,
                                       jnp.float32(0.0), **kw_ib)
         assert np.isfinite(float(loss))
 

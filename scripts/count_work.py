@@ -8,6 +8,9 @@ VPU roofline bound for the dense-test stage — the numbers PERF.md cites.
 Pure numpy on the host (no TPU needed); the bbox math mirrors
 ops/stream.py's _bbox_hit.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import sys
 

@@ -3,6 +3,9 @@
 Separates (a) device execution of the one-dispatch frame, (b) d2h of the
 result buffer, (c) total bench-equivalent wall time. Run on the real chip.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -5,6 +5,9 @@ wall-clock; d2h rides the tunnel and is measured separately).
 Usage: python scripts/sweep_stream.py [configs...]
   config = BLOCK_RAYS:UNROLL, e.g. 2048:1 4096:8
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 
@@ -61,13 +64,16 @@ def main():
                       has_ks_textures=meta.has_ks_textures)
             sums = renderer._render_chunks_fused(dscene, amb, width, height,
                                                  SAMPLES, **kw)
-            jax.block_until_ready(sums)
+            # 1-element pull: block_until_ready returns early over the
+            # tunnel (observed r4: 0 ms readings); a scalar d2h is the
+            # reliable completion barrier (4 bytes, sub-ms)
+            assert float(sums[0, 0]) >= 0
             best = 1e9
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 sums = renderer._render_chunks_fused(
                     dscene, amb, width, height, SAMPLES, **kw)
-                jax.block_until_ready(sums)
+                assert float(sums[0, 0]) >= 0
                 best = min(best, time.perf_counter() - t0)
             print(f"BLOCK={br} UNROLL={un} tiled={tiled} depth={depth}: "
                   f"{best*1e3:.0f} ms -> {rays/best/1e6:.2f} Mrays/s "

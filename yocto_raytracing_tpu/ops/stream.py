@@ -488,7 +488,7 @@ def _local_ray_planes(A, o, ox, oy, oz, dx, dy, dz):
     return (lox, loy, loz), (ldx, ldy, ldz), inv
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
+@partial(jax.jit, static_argnames=("any_hit", "unroll"))
 def _intersect_block_flat(
     stream: StreamScene,
     ro: jnp.ndarray,
@@ -496,6 +496,7 @@ def _intersect_block_flat(
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     any_hit: bool = False,
+    unroll: int | None = None,
 ):
     """Flat (instance, cluster) pair-worklist scan for small scenes.
 
@@ -511,6 +512,8 @@ def _intersect_block_flat(
     order with the same folds — results identical to the loop path
     (module invariant; tests/test_stream.py covers both paths).
     """
+    if unroll is None:
+        unroll = UNROLL
     n_inst = len(stream.s_n_cl)
     n_pairs = sum(stream.s_n_cl)
     n = ro.shape[0]
@@ -562,8 +565,8 @@ def _intersect_block_flat(
     n_work = jnp.sum(psurv.astype(jnp.int32))
 
     def body(w, st):
-        for j in range(UNROLL):
-            idx = w * UNROLL + j
+        for j in range(unroll):
+            idx = w * unroll + j
             valid = idx < n_work
             p = work[jnp.minimum(idx, n_pairs - 1)]
             ii = pair_inst[p]
@@ -586,7 +589,7 @@ def _intersect_block_flat(
                              active, tmin_b, lane)
         return st
 
-    n_iter_max = (n_work + UNROLL - 1) // UNROLL
+    n_iter_max = (n_work + unroll - 1) // unroll
     out = jax.lax.fori_loop(0, n_iter_max, body, init)
     return dict(
         hit=out["hit_prim"] >= 0,
@@ -596,7 +599,7 @@ def _intersect_block_flat(
     )
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
+@partial(jax.jit, static_argnames=("any_hit", "unroll"))
 def _intersect_block_flat2(
     stream: StreamScene,
     ro: jnp.ndarray,
@@ -604,6 +607,7 @@ def _intersect_block_flat2(
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     any_hit: bool = False,
+    unroll: int | None = None,
 ):
     """Hybrid pair-worklist scan: flat's single fori, loop path's math.
 
@@ -619,6 +623,8 @@ def _intersect_block_flat2(
     order with the same folds (module invariant; parity-tested in
     tests/test_stream.py). A/B vs the loop path: PERF.md r4.
     """
+    if unroll is None:
+        unroll = UNROLL
     n_inst = len(stream.s_n_cl)
     n_pairs = sum(stream.s_n_cl)
     n = ro.shape[0]
@@ -664,8 +670,8 @@ def _intersect_block_flat2(
     n_work = jnp.sum(psurv.astype(jnp.int32))
 
     def body(w, st):
-        for j in range(UNROLL):
-            idx = w * UNROLL + j
+        for j in range(unroll):
+            idx = w * unroll + j
             valid = idx < n_work
             p = work[jnp.minimum(idx, n_pairs - 1)]
             ii = pair_inst[p]
@@ -690,7 +696,7 @@ def _intersect_block_flat2(
                              active, tmin_b, lane)
         return st
 
-    n_iter_max = (n_work + UNROLL - 1) // UNROLL
+    n_iter_max = (n_work + unroll - 1) // unroll
     out = jax.lax.fori_loop(0, n_iter_max, body, init)
     return dict(
         hit=out["hit_prim"] >= 0,
@@ -700,11 +706,27 @@ def _intersect_block_flat2(
     )
 
 
-BLOCK_RAYS = 4096  # rays per skip-granularity block (tile-matched; with
-#                    tile-ordered pixels a block is a compact screen tile
-#                    and larger blocks amortize region overhead — measured
-#                    best at 4096 on the refl bench, scripts/sweep_stream.py)
-UNROLL = 4         # clusters tested per worklist-loop iteration
+BLOCK_RAYS = 32768  # rays per skip-granularity block (tile-matched; with
+#                     tile-ordered pixels a block is a compact screen tile
+#                     and larger blocks amortize region overhead. r4
+#                     re-sweep with the fixed completion barrier
+#                     (scripts/sweep_stream.py): 32768:1 beats the old
+#                     4096:4 by ~3.5% on refl (65536 regresses); PERF.md.
+UNROLL = 1          # clusters tested per worklist-loop iteration
+# the per-block instance shortlist materializes an (N, I) mask: at 32768
+# rays x 10,004 instances that is a 328 MB pred buffer per fused stage,
+# which crashed the TPU worker (r4). Cap N*I and deepen the unroll for
+# the resulting smaller blocks (4096:4 was the measured r3 optimum at
+# that size).
+MAX_BLOCK_ELEMS = 1 << 26
+
+
+def effective_block_unroll(n_inst: int):
+    """Scene-adaptive (block_rays, unroll) — see MAX_BLOCK_ELEMS note."""
+    block = BLOCK_RAYS
+    while block > 2048 and block * max(n_inst, 1) > MAX_BLOCK_ELEMS:
+        block //= 2
+    return block, (UNROLL if block == BLOCK_RAYS else 4)
 # The flat pair-worklist path (opt-in, YRT_FLAT_SCAN=1) was built to
 # eliminate the per-instance sequencer regions, but measured 25% SLOWER
 # than the loop path on the refl bench (2.37 vs 3.12 Mrays/s wall): the
@@ -746,28 +768,31 @@ def intersect_stream(
     # host-side choice; the per-instance loop path handles 10k-instance
     # scenes where a dense pair space would not fit)
     n_pairs = sum(stream.s_n_cl)
+    block, unroll = effective_block_unroll(stream.inst_wb_min.shape[0])
     if flat is None:
         flat = not FORCE_LOOP_PATH
     flat = flat and len(stream.s_n_cl) <= 32 and 0 < n_pairs <= 512
     flat_fn = (_intersect_block_flat2 if _FLAT_ENV == "2"
                else _intersect_block_flat)
     block_fn = flat_fn if flat else _intersect_block
-    if n > BLOCK_RAYS:
-        pad = (-n) % BLOCK_RAYS
+    if n > block:
+        pad = (-n) % block
         def pad0(x, v=0):
             return jnp.concatenate(
                 [x, jnp.full((pad,) + x.shape[1:], v, x.dtype)])
         blocks = jax.lax.map(
-            lambda args: block_fn(stream, *args, any_hit=any_hit),
-            (pad0(ro).reshape(-1, BLOCK_RAYS, 3),
-             pad0(rd).reshape(-1, BLOCK_RAYS, 3),
-             pad0(tmin).reshape(-1, BLOCK_RAYS),
-             pad0(tmax, -FLT_MAX).reshape(-1, BLOCK_RAYS)))
+            lambda args: block_fn(stream, *args, any_hit=any_hit,
+                                  unroll=unroll),
+            (pad0(ro).reshape(-1, block, 3),
+             pad0(rd).reshape(-1, block, 3),
+             pad0(tmin).reshape(-1, block),
+             pad0(tmax, -FLT_MAX).reshape(-1, block)))
         return {k: v.reshape(-1)[:n] for k, v in blocks.items()}
-    return block_fn(stream, ro, rd, tmin, tmax, any_hit=any_hit)
+    return block_fn(stream, ro, rd, tmin, tmax, any_hit=any_hit,
+                    unroll=unroll)
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
+@partial(jax.jit, static_argnames=("any_hit", "unroll"))
 def _intersect_block(
     stream: StreamScene,
     ro: jnp.ndarray,
@@ -775,7 +800,10 @@ def _intersect_block(
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     any_hit: bool = False,
+    unroll: int | None = None,
 ):
+    if unroll is None:
+        unroll = UNROLL
     n = ro.shape[0]
     ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
     dx, dy, dz = rd[:, 0], rd[:, 1], rd[:, 2]
@@ -869,8 +897,8 @@ def _intersect_block(
                 # dense 128-prim test, so amortize the region over several
                 # clusters. The folds stay sequential in worklist order —
                 # identical math and fold order to the K=1 loop.
-                for j in range(UNROLL):
-                    idx = w * UNROLL + j
+                for j in range(unroll):
+                    idx = w * unroll + j
                     valid = idx < n_work
                     c = work[jnp.minimum(idx, n_cl - 1)]
                     cbn = stream.cb_min[c]
@@ -883,7 +911,7 @@ def _intersect_block(
                     st = dense_test(st, c, inst_id, lo3, ld3, active)
                 return st
 
-            n_iter = (n_work + UNROLL - 1) // UNROLL
+            n_iter = (n_work + unroll - 1) // unroll
             return jax.lax.fori_loop(0, n_iter, cl_body, st)
 
         return jax.lax.cond(jnp.any(m_inst), expand, lambda: st)

@@ -400,8 +400,10 @@ def render_image(
         from ..ops import stream as stream_mod
 
         n_chunks = -(-npix // chunk_pixels)
-        perm_np, perm_dev = _tile_perm_cached(width, height, spp,
-                                              stream_mod.BLOCK_RAYS)
+        block = (stream_mod.effective_block_unroll(
+                     stream.inst_wb_min.shape[0])[0]
+                 if stream is not None else stream_mod.BLOCK_RAYS)
+        perm_np, perm_dev = _tile_perm_cached(width, height, spp, block)
         n_super = min(4, n_chunks)
         per = -(-n_chunks // n_super)
         rng_key = (jnp.uint32(seed)
