@@ -49,17 +49,24 @@ def tile_permutation(width: int, height: int, spp: int,
     rays, so a block covering a long scanline strip (the natural pixel
     order) intersects far more clusters than the same pixel count as a
     square-ish tile. This permutation orders pixels so each block =
-    ``block_rays // spp`` pixels forms a 16-wide tile. Per-ray results are
-    unchanged by construction (culling never changes results, only skips
-    work — ops/stream.py module invariant), so renders stay bit-identical
-    to scanline order; only wall-clock drops (measured 1.9 -> 4.4 Mrays/s
-    device-side on the refl bench).
+    ``block_rays // spp`` pixels forms a near-square tile. Per-ray results
+    are unchanged by construction (culling never changes results, only
+    skips work — ops/stream.py module invariant), so renders stay
+    bit-identical to scanline order; only wall-clock drops (measured
+    1.9 -> 4.4 Mrays/s device-side on the refl bench, r2).
+
+    Tile aspect (r4 A/B at the 32768-ray block = 2048-px tiles): 32x64
+    beats 16x128 by 8% device-side and 64x32/128x16 regress — so the
+    width is the power of two nearest sqrt(tile_px), clamped to [16, 64]
+    (16 keeps the measured r3 optimum for the small tiles of
+    instance-capped blocks; wider than 64 loses).
 
     Returns perm (npix,) i32: perm[k] = flat pixel id of the k-th pixel in
     tile order.
     """
     tile_px = max(1, block_rays // max(1, spp))
-    tw = min(16, tile_px)
+    tw = 1 << int(round(math.log2(max(1, math.isqrt(tile_px)))))
+    tw = max(min(64, tw, tile_px), min(16, tile_px))
     th = max(1, tile_px // tw)
     ys, xs = np.mgrid[0:height, 0:width]
     ntx = (width + tw - 1) // tw
