@@ -716,9 +716,11 @@ UNROLL = 1          # clusters tested per worklist-loop iteration
 # the per-block instance shortlist materializes an (N, I) mask: at 32768
 # rays x 10,004 instances that is a 328 MB pred buffer per fused stage,
 # which crashed the TPU worker (r4). Cap N*I and deepen the unroll for
-# the resulting smaller blocks (4096:4 was the measured r3 optimum at
-# that size).
-MAX_BLOCK_ELEMS = 1 << 26
+# the resulting smaller blocks. 2^27 admits 8192-ray blocks at 10k
+# instances (82 MB masks): measured stable on the full instance10000
+# frame and +10% over 4096 (0.608 vs 0.552 Mrays/s quarter-frame,
+# 0.641 wall full-frame — PERF.md r4).
+MAX_BLOCK_ELEMS = 1 << 27
 
 
 def effective_block_unroll(n_inst: int):
