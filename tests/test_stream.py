@@ -176,3 +176,46 @@ def test_flat2_hybrid_path_matches_loop_path(seed):
                                   max_stack=meta.max_stack)
     np.testing.assert_array_equal(np.asarray(a2["hit"]),
                                   np.asarray(c["hit"]))
+
+
+def test_effective_block_unroll():
+    """Scene-adaptive block config: uncapped small scenes get the global
+    (BLOCK_RAYS, UNROLL); large instance counts halve the block until
+    N*I <= MAX_BLOCK_ELEMS (the (N, I) shortlist mask budget — 32768 x
+    10004 crashed the TPU worker, PERF.md r4) and deepen the unroll."""
+    blk = stream_mod.BLOCK_RAYS
+    assert stream_mod.effective_block_unroll(1) == (blk, stream_mod.UNROLL)
+    assert stream_mod.effective_block_unroll(5) == (blk, stream_mod.UNROLL)
+    b10k, u10k = stream_mod.effective_block_unroll(10004)
+    assert b10k * 10004 <= stream_mod.MAX_BLOCK_ELEMS
+    assert b10k >= 2048 and u10k == 4
+    # monotone: more instances never increases the block
+    blocks = [stream_mod.effective_block_unroll(i)[0]
+              for i in (1, 100, 1000, 10004, 100000)]
+    assert blocks == sorted(blocks, reverse=True)
+
+
+def test_tile_permutation_shapes():
+    """tile_permutation is a true permutation for every config, and the
+    r4 near-square width rule holds: 2048-px tiles are 32 wide (the
+    measured winner), 256-px tiles stay 16 (the r3 optimum), tiny tiles
+    never exceed tile_px."""
+    from yocto_raytracing_tpu.render import renderer
+
+    for w, h, spp, block in ((171, 96, 1, 32768), (160, 90, 16, 32768),
+                             (64, 64, 64, 8192), (33, 17, 4, 64)):
+        p = renderer.tile_permutation(w, h, spp, block)
+        assert sorted(p.tolist()) == list(range(w * h)), (w, h, spp, block)
+
+    # width rule (derived from the A/B in the docstring)
+    import math
+
+    def tw_of(block, spp):
+        tile_px = max(1, block // max(1, spp))
+        tw = 1 << int(round(math.log2(max(1, math.isqrt(tile_px)))))
+        return max(min(64, tw, tile_px), min(16, tile_px))
+
+    assert tw_of(32768, 16) == 32    # 2048-px tile -> 32x64 (r4 winner)
+    assert tw_of(4096, 16) == 16     # 256-px tile -> 16x16 (r3 optimum)
+    assert tw_of(8192, 64) == 16     # instance-capped small tiles
+    assert tw_of(16, 16) == 1        # tw never exceeds tile_px
