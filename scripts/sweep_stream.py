@@ -3,7 +3,9 @@ device exec time on the refl bench config (the controllable part of bench
 wall-clock; d2h rides the tunnel and is measured separately).
 
 Usage: python scripts/sweep_stream.py [configs...]
-  config = BLOCK_RAYS:UNROLL, e.g. 2048:1 4096:8
+  config = BLOCK_RAYS[:UNROLL][:scan], e.g. 2048 2048:1 4096:8
+  (UNROLL defaults to 1; the optional ':scan' suffix disables the tile
+  permutation so the block covers scanline-order pixels)
 """
 import os as _os
 import sys as _sys
@@ -49,7 +51,8 @@ def main():
 
     for cfg in cfgs:
         parts = cfg.split(":")
-        br, un = int(parts[0]), int(parts[1])
+        br = int(parts[0])
+        un = int(parts[1]) if len(parts) > 1 else 1
         tiled = len(parts) < 3 or parts[2] != "scan"
         stream_mod.BLOCK_RAYS = br
         stream_mod.UNROLL = un

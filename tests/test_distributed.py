@@ -86,13 +86,14 @@ def test_shard_rays_round_trip():
 
 
 @pytest.mark.slow
-def test_two_process_distributed_run():
+def test_four_process_distributed_run():
     """The REAL multi-process path (no mocks): scripts/run_distributed.py
-    spawns two local CPU workers with a 127.0.0.1 coordinator, runs
-    jax.distributed.initialize, a global-mesh sharded render, and one
-    cross-process train_step_sharded; the launcher asserts disjoint
-    ownership, bit-identity with the single-process render, and
-    loss agreement (SCALING.md r4)."""
+    spawns four local CPU workers with a free-port 127.0.0.1 coordinator,
+    runs jax.distributed.initialize, a global-8-device-mesh 128x128
+    sharded render through the STREAM intersector, and a 4-step
+    cross-process train_step_sharded loop; the launcher asserts disjoint
+    ownership, bit-identity with the single-process render, and a
+    decreasing loss curve that agrees on every worker (SCALING.md r5)."""
     import os
     import subprocess
     import sys
@@ -101,8 +102,9 @@ def test_two_process_distributed_run():
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts",
                                       "run_distributed.py")],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=1200,
         env={k: v for k, v in os.environ.items()
              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "OK: 2-process jax.distributed render bit-identical" in r.stdout
+    assert ("OK: 4-process jax.distributed 128x128 stream render "
+            "bit-identical" in r.stdout)

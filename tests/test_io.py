@@ -111,6 +111,37 @@ def test_gltf_roundtrip_simple(tmp_path):
 
 
 @needs_reference
+def test_glb_roundtrip_simple(tmp_path):
+    """r5: binary .glb container export (save_binary_gltf,
+    src/ext/yocto_gltf.h:651) — save dispatch accepts .glb, the file is a
+    valid GLB (magic/version/embedded BIN chunk), and it round-trips
+    through the importer like the .gltf path."""
+    host = scene_lib.load_scene(reference_scene("simple"))
+    path = tmp_path / "rt.glb"
+    scene_lib.save_scene(host, str(path))
+    data = path.read_bytes()
+    import struct
+
+    magic, version, length = struct.unpack_from("<III", data, 0)
+    assert magic == 0x46546C67 and version == 2 and length == len(data)
+    assert not (tmp_path / "rt.bin").exists()  # BIN embedded, no sidecar
+    again = scene_lib.load_scene(str(path))
+    _assert_scene_equal(host, again)
+
+
+def test_glb_roundtrip_hair_render(tmp_path):
+    """.glb round-trip renders pixel-equal (lines + RADIUS through the
+    binary container)."""
+    from yocto_raytracing_tpu import testscenes
+
+    host = testscenes.make_hair_scene(n_strands=16)
+    scene_lib.save_scene(host, str(tmp_path / "hair.glb"))
+    again = scene_lib.load_scene(str(tmp_path / "hair.glb"))
+    np.testing.assert_allclose(_render_small(host), _render_small(again),
+                               rtol=0, atol=0)
+
+
+@needs_reference
 def test_gltf_render_matches_obj_twin(tmp_path):
     """The glTF twin of the simple scene renders pixel-equal to the OBJ."""
     host = scene_lib.load_scene(reference_scene("simple"))

@@ -84,15 +84,9 @@ def edge_map(faces: np.ndarray):
         # order (edge_map(triangles), yocto_math.h:3877-3884)
         raw = f[:, [[0, 1], [1, 2], [2, 0]]].reshape(-1, 2)
     else:
-        degen = f[:, 2] == f[:, 3]
-        fq = f[~degen]
-        ft = f[degen]
-        raw = np.concatenate([
-            fq[:, [0, 1]], fq[:, [1, 2]], fq[:, [2, 3]], fq[:, [3, 0]],
-            ft[:, [0, 1]], ft[:, [1, 2]], ft[:, [2, 0]],
-        ])
-        # restore per-face interleaving order for first-seen numbering:
-        # rebuild sequentially instead (faces are few; host-side tool)
+        # per-face insertion order for first-seen numbering (quads emit 4
+        # edges, degenerate z == w quads their 3 triangle edges; faces are
+        # few; host-side tool)
         raws = []
         for row in f:
             if row[2] == row[3]:

@@ -27,9 +27,11 @@ arrays instead of the reference's three-layer pointer graph:
 * images: file URIs (decoded by extension like the app layer,
   src/scene.cpp:150-160), ``data:`` URIs, and bufferView-embedded PNGs.
 
-The exporter writes a ``.gltf`` + sidecar ``.bin`` (+ texture image files)
-that round-trips through this importer: materials carry both the MR
-approximation and the exact spec-gloss extension, so kd/ks/rs survive
+The exporter writes either a ``.gltf`` + sidecar ``.bin`` or a binary
+``.glb`` container (JSON + BIN chunks — the reference's
+``save_binary_gltf``, src/ext/yocto_gltf.h:651), plus texture image
+files, that round-trips through this importer: materials carry both the
+MR approximation and the exact spec-gloss extension, so kd/ks/rs survive
 bit-for-bit. ``kr`` (mirror) has no glTF representation — the reference's
 glTF path drops it too (yscn material kr stays 0 for glTF input).
 """
@@ -825,10 +827,13 @@ def morph_vertices(shape, targets: list, weights) -> tuple:
 
 
 def save_gltf(host, filename: str) -> None:
-    """Write ``HostScene`` as .gltf + sidecar .bin (+ texture files).
+    """Write ``HostScene`` as .gltf + sidecar .bin, or as a binary .glb
+    container when the filename ends in ``.glb`` (+ texture files either
+    way).
 
     save_scene-for-glTF equivalent (yocto_scn.h:447-455 dispatch,
-    scene_to_gltf yocto_scn.cpp:1140-1300). Materials are written as both
+    scene_to_gltf yocto_scn.cpp:1140-1300; GLB container =
+    save_binary_gltf, yocto_gltf.h:651). Materials are written as both
     pbrMetallicRoughness (approximate inverse of the import mapping) and
     the exact spec-gloss extension so kd/ks/rs round-trip losslessly; kr
     goes to ``extras`` (no glTF equivalent).
@@ -988,14 +993,10 @@ def save_gltf(host, filename: str) -> None:
             "camera": len(gcameras) - 1,
         })
 
-    bin_name = stem + ".bin"
-    with open(os.path.join(dirname, bin_name), "wb") as f:
-        f.write(bytes(blob))
-
+    binary = os.path.splitext(filename)[1].lower() == ".glb"
     g = {
         "asset": {"version": "2.0", "generator": "yocto_raytracing_tpu"},
         "extensionsUsed": [_SPECGLOSS],
-        "buffers": [{"uri": bin_name, "byteLength": len(blob)}],
         "bufferViews": buffer_views,
         "accessors": accessors,
         "meshes": meshes,
@@ -1003,6 +1004,15 @@ def save_gltf(host, filename: str) -> None:
         "scenes": [{"nodes": list(range(len(nodes)))}],
         "scene": 0,
     }
+    if binary:
+        # GLB embeds the buffer as the BIN chunk: buffer 0 has no uri
+        # (save_binary_gltf, src/ext/yocto_gltf.h:651)
+        g["buffers"] = [{"byteLength": len(blob)}]
+    else:
+        bin_name = stem + ".bin"
+        with open(os.path.join(dirname, bin_name), "wb") as f:
+            f.write(bytes(blob))
+        g["buffers"] = [{"uri": bin_name, "byteLength": len(blob)}]
     if images:
         g["images"] = images
         g["textures"] = gtextures
@@ -1010,5 +1020,27 @@ def save_gltf(host, filename: str) -> None:
         g["materials"] = materials
     if gcameras:
         g["cameras"] = gcameras
-    with open(filename, "wt") as f:
-        json.dump(g, f, indent=1)
+    if binary:
+        with open(filename, "wb") as f:
+            f.write(_write_glb(g, bytes(blob)))
+    else:
+        with open(filename, "wt") as f:
+            json.dump(g, f, indent=1)
+
+
+def _write_glb(g: dict, blob: bytes) -> bytes:
+    """GLB 2.0 container bytes: 12-byte header + JSON chunk (space-padded
+    to 4) + BIN chunk (zero-padded to 4) — the inverse of ``_read_glb``
+    and the rebuild of the reference's ``save_binary_gltf``
+    (src/ext/yocto_gltf.h:651, yocto_gltf.cpp). Texture images stay
+    external file URIs next to the .glb (the importer resolves them
+    relative to the file, like the reference's image loader)."""
+    json_bytes = json.dumps(g, separators=(",", ":")).encode("utf-8")
+    json_bytes += b" " * (-len(json_bytes) % 4)
+    chunks = [struct.pack("<II", len(json_bytes), 0x4E4F534A), json_bytes]
+    bin_bytes = blob + b"\0" * (-len(blob) % 4)
+    if bin_bytes:
+        chunks += [struct.pack("<II", len(bin_bytes), 0x004E4942),
+                   bin_bytes]
+    body = b"".join(chunks)
+    return struct.pack("<III", 0x46546C67, 2, 12 + len(body)) + body

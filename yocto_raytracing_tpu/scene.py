@@ -272,14 +272,16 @@ def load_scene(filename: str) -> HostScene:
 
 def save_scene(host: HostScene, filename: str) -> None:
     """Save a scene, dispatching on extension (yscn::save_scene,
-    src/ext/yocto_scn.h:447-455): .obj -> OBJ/MTL writer, .gltf -> glTF
-    writer, anything else -> SceneLoadError."""
+    src/ext/yocto_scn.h:447-455): .obj -> OBJ/MTL writer, .gltf/.glb ->
+    glTF writer (.glb = binary container, the reference's
+    save_binary_gltf, src/ext/yocto_gltf.h:651), anything else ->
+    SceneLoadError."""
     ext = os.path.splitext(filename)[1].lower()
     if ext == ".obj":
         from .io import objwriter
 
         return objwriter.save_obj(host, filename)
-    if ext == ".gltf":
+    if ext in (".gltf", ".glb"):
         from .io import gltf as gltf_mod
 
         return gltf_mod.save_gltf(host, filename)
