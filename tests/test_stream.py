@@ -179,20 +179,89 @@ def test_flat2_hybrid_path_matches_loop_path(seed):
 
 
 def test_effective_block_unroll():
-    """Scene-adaptive block config: uncapped small scenes get the global
-    (BLOCK_RAYS, UNROLL); large instance counts halve the block until
-    N*I <= MAX_BLOCK_ELEMS (the (N, I) shortlist mask budget — 32768 x
-    10004 crashed the TPU worker, PERF.md r4) and deepen the unroll."""
+    """Scene-adaptive block config (r5): block * n_inst <= MAX_BLOCK_ELEMS
+    is the culling-GRANULARITY cap (8192-ray blocks beat 32768 by 40% at
+    10k instances — a 4x screen tile shortlists ~4x the instances per
+    ray; PERF.md r5 A/B), while the hierarchical shortlist keeps the mask
+    MEMORY at (N, ceil(I/GROUP)): every config must fit that budget, the
+    halving may now go below the old 2048 floor, and absurd counts fail
+    loudly (r4 advisor finding)."""
     blk = stream_mod.BLOCK_RAYS
     assert stream_mod.effective_block_unroll(1) == (blk, stream_mod.UNROLL)
     assert stream_mod.effective_block_unroll(5) == (blk, stream_mod.UNROLL)
+    # 10k instances: the measured optimum 8192-ray block, deeper unroll
     b10k, u10k = stream_mod.effective_block_unroll(10004)
-    assert b10k * 10004 <= stream_mod.MAX_BLOCK_ELEMS
-    assert b10k >= 2048 and u10k == 4
-    # monotone: more instances never increases the block
-    blocks = [stream_mod.effective_block_unroll(i)[0]
-              for i in (1, 100, 1000, 10004, 100000)]
+    assert b10k == 8192 and u10k == 4
+    # every config respects the hierarchical mask budget; the block keeps
+    # shrinking (below the old 2048 floor) as instances grow
+    blocks = []
+    for i in (1, 100, 1000, 10004, 100000, 1000000):
+        b, _ = stream_mod.effective_block_unroll(i)
+        blocks.append(b)
+        assert b * stream_mod.shortlist_width(i) \
+            <= stream_mod.MAX_BLOCK_ELEMS, i
     assert blocks == sorted(blocks, reverse=True)
+    assert stream_mod.effective_block_unroll(1000000)[0] < 2048
+
+
+def test_stream_hierarchical_shortlist_matches_traversal():
+    """r5: scenes with >= HIER_MIN_INST instances take the two-stage group
+    shortlist (merged GROUP-bbox pass + per-group refinement). Slab-test
+    monotonicity under bbox enlargement makes its survivor set EXACTLY the
+    flat pass's, so the full parity contract must hold unchanged."""
+    host = testscenes.make_random_scene(seed=11, n_shapes=2, n_tris=12,
+                                        n_lines=4, n_points=2,
+                                        n_instances=300)
+    dev, meta, ss = _build(host)
+    assert ss.grp_wb_min.shape[0] == -(-300 // stream_mod.GROUP)
+    assert 300 >= stream_mod.HIER_MIN_INST  # hierarchical path is active
+    ro, rd, tmin, tmax = _rays(30, 512)
+    a = traverse.intersect_scene(dev, ro, rd, tmin, tmax,
+                                 max_stack=meta.max_stack)
+    b = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax)
+    # oracle contract, scoped like test_flat2: with 300 instances x 4
+    # capsules the sample set contains grazing LINE hits, where the
+    # separately-compiled oracle legitimately drifts tens of ULPs (the
+    # documented fusion-amplification class, tie_forensics.py) — so lines
+    # get a loose t bound while every other hit keeps the <= 1 ULP
+    # contract. Bit-parity of the shortlist itself is pinned separately
+    # (test_stream_hierarchical_equals_flat_shortlist).
+    np.testing.assert_array_equal(np.asarray(a["hit"]),
+                                  np.asarray(b["hit"]))
+    ta, tb = np.asarray(a["t"]), np.asarray(b["t"])
+    ulp = np.abs(ta.view(np.int32) - tb.view(np.int32))
+    pt = np.asarray(dev.prim_type)
+    is_line = np.asarray(a["hit"]) & (pt[np.asarray(a["prim"])] == 1)
+    assert ulp[~is_line].max() <= 1, f"non-line t ULP {ulp[~is_line].max()}"
+    assert ulp.max() <= 64, f"line t ULP {ulp.max()}"
+    exact = ta == tb
+    for k in ("inst", "prim"):
+        np.testing.assert_array_equal(np.asarray(a[k])[exact],
+                                      np.asarray(b[k])[exact], err_msg=k)
+    a2 = traverse.intersect_scene(dev, ro, rd, tmin, tmax, any_hit=True,
+                                  max_stack=meta.max_stack)
+    b2 = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(a2["hit"]),
+                                  np.asarray(b2["hit"]))
+
+
+def test_stream_hierarchical_equals_flat_shortlist():
+    """Direct contract: the hierarchical shortlist changes NOTHING but
+    work — dropping the group tables (grp_wb_min=None forces the flat
+    (N, I) pass) must give bit-identical hits, ids, and t."""
+    import dataclasses
+
+    host = testscenes.make_random_scene(seed=13, n_shapes=2, n_tris=12,
+                                        n_lines=4, n_points=2,
+                                        n_instances=300)
+    _, _, ss = _build(host)
+    ss_flat = dataclasses.replace(ss, grp_wb_min=None, grp_wb_max=None)
+    ro, rd, tmin, tmax = _rays(31, 512)
+    h = stream_mod._intersect_block(ss, ro, rd, tmin, tmax)
+    f = stream_mod._intersect_block(ss_flat, ro, rd, tmin, tmax)
+    for key in ("hit", "inst", "prim", "t"):
+        np.testing.assert_array_equal(np.asarray(h[key]),
+                                      np.asarray(f[key]), err_msg=key)
 
 
 def test_tile_permutation_shapes():

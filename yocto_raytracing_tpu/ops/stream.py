@@ -60,6 +60,13 @@ from ..scene import PRIM_LINE, PRIM_POINT, PRIM_TRIANGLE
 FLT_MAX = np.float32(3.4028235e38)
 SLACK = np.float32(1.00000024)  # slab robustness factor (scene.cpp:380)
 CLUSTER = 128
+GROUP = 64          # instances per shortlist super-group (hierarchical
+#                     shortlist; the reference handles many-instance
+#                     scenes with a scene-level hierarchy over instances,
+#                     src/scene.cpp:446-480 — this is its two-stage
+#                     block-coherent analogue)
+HIER_MIN_INST = 256  # below this the flat (N, I) shortlist is cheaper
+#                      than a group pass + per-group refinement regions
 
 
 # fields kept as STATIC (hashable aux_data, not traced leaves): the flat
@@ -112,6 +119,14 @@ class StreamScene:
     inst_wb_max: Any  # (I, 3)
     inst_n_cl: Any     # (I,) i32 cluster count of the shape
     inst_cl_base: Any  # (I,) i32 first cluster of the shape
+    # hierarchical shortlist (r5): merged world bboxes of GROUP consecutive
+    # scene-DFS instances. DFS order is the scene BVH's leaf order, so a
+    # group is a spatially compact set and its merged bbox is tight. The
+    # per-block shortlist then slab-tests (rays x n_groups) instead of
+    # (rays x instances) — 64x less mask memory, which is what forced
+    # instance10000 down to 8192-ray blocks in r4 (see MAX_BLOCK_ELEMS).
+    grp_wb_min: Any = None  # (ceil(I/GROUP), 3) f32
+    grp_wb_max: Any = None  # (ceil(I/GROUP), 3)
     # STATIC (aux_data) copies for the flat path's Python-unrolled
     # instance stage: tuples of ints, never traced
     s_cl_base: Any = ()   # (I,) tuple
@@ -267,6 +282,20 @@ def build_stream_scene(host, dev, meta) -> StreamScene:
     wb_min = np.stack(wmin_l).astype(np.float32)
     wb_max = np.stack(wmax_l).astype(np.float32)
 
+    # super-group bboxes for the hierarchical shortlist: merge GROUP
+    # consecutive scene-DFS instances (= scene BVH leaf order, spatially
+    # compact). Padding slots get the empty bbox (+max/-max), which the
+    # slab test can never hit.
+    n_i = wb_min.shape[0]
+    n_grp = -(-max(n_i, 1) // GROUP)
+    gpad = n_grp * GROUP - n_i
+    gmin = np.concatenate(
+        [wb_min, np.full((gpad, 3), FLT_MAX, np.float32)]) if gpad else wb_min
+    gmax = np.concatenate(
+        [wb_max, np.full((gpad, 3), -FLT_MAX, np.float32)]) if gpad else wb_max
+    grp_wb_min = gmin.reshape(n_grp, GROUP, 3).min(axis=1)
+    grp_wb_max = gmax.reshape(n_grp, GROUP, 3).max(axis=1)
+
     def plane(arr, k):
         return np.ascontiguousarray(arr[:, :, k])
 
@@ -282,6 +311,7 @@ def build_stream_scene(host, dev, meta) -> StreamScene:
         inst_wb_min=wb_min, inst_wb_max=wb_max,
         inst_n_cl=np.asarray(ncl_l, np.int32),
         inst_cl_base=np.asarray(clb_l, np.int32),
+        grp_wb_min=grp_wb_min, grp_wb_max=grp_wb_max,
         s_cl_base=tuple(int(x) for x in clb_l),
         s_n_cl=tuple(int(x) for x in ncl_l),
     )
@@ -713,21 +743,38 @@ BLOCK_RAYS = 32768  # rays per skip-granularity block (tile-matched; with
 #                     (scripts/sweep_stream.py): 32768:1 beats the old
 #                     4096:4 by ~3.5% on refl (65536 regresses); PERF.md.
 UNROLL = 1          # clusters tested per worklist-loop iteration
-# the per-block instance shortlist materializes an (N, I) mask: at 32768
-# rays x 10,004 instances that is a 328 MB pred buffer per fused stage,
-# which crashed the TPU worker (r4). Cap N*I and deepen the unroll for
-# the resulting smaller blocks. 2^27 admits 8192-ray blocks at 10k
-# instances (82 MB masks): measured stable on the full instance10000
-# frame and +10% over 4096 (0.608 vs 0.552 Mrays/s quarter-frame,
-# 0.641 wall full-frame — PERF.md r4).
+# block * n_inst <= 2^27 started life in r4 as a MEMORY cap: the flat
+# shortlist's (N, I) mask at 32768 x 10,004 was a 328 MB pred buffer
+# that crashed the TPU worker. The r5 hierarchical shortlist (GROUP-
+# merged bboxes + per-group refinement) cut the mask to (N, ceil(I/64)),
+# re-admitting 32768-ray blocks — and the interleaved A/B then showed
+# the SAME formula is the right CULLING-GRANULARITY cap: at 10k
+# instances an 8192-ray block (0.464 Mrays/s quarter-frame) beats 32768
+# (0.330) because a 4x-larger screen tile shortlists ~4x the instances
+# for every ray in it, and that extra dense work dwarfs the saved
+# sequencer regions (PERF.md r5). So the cap stays instance-driven; the
+# hierarchy's contribution is the +19% shortlist saving at the SAME
+# block size, plus removing the memory hazard (halving now goes below
+# the old 2048 floor, and the assert fails loudly — r4 advisor finding).
 MAX_BLOCK_ELEMS = 1 << 27
+
+
+def shortlist_width(n_inst: int) -> int:
+    """Per-block shortlist mask width W: (rays x W) is the widest buffer
+    the instance-cull stage materializes."""
+    if n_inst >= HIER_MIN_INST:
+        return max(-(-n_inst // GROUP), GROUP)
+    return max(n_inst, 1)
 
 
 def effective_block_unroll(n_inst: int):
     """Scene-adaptive (block_rays, unroll) — see MAX_BLOCK_ELEMS note."""
     block = BLOCK_RAYS
-    while block > 2048 and block * max(n_inst, 1) > MAX_BLOCK_ELEMS:
+    while block > 256 and block * max(n_inst, 1) > MAX_BLOCK_ELEMS:
         block //= 2
+    assert block * shortlist_width(n_inst) <= MAX_BLOCK_ELEMS, (
+        f"{n_inst} instances: even a {block}-ray block exceeds the "
+        f"shortlist mask budget (MAX_BLOCK_ELEMS)")
     return block, (UNROLL if block == BLOCK_RAYS else 4)
 # The flat pair-worklist path (opt-in, YRT_FLAT_SCAN=1) was built to
 # eliminate the per-instance sequencer regions, but measured 25% SLOWER
@@ -744,7 +791,7 @@ _FLAT_ENV = _os.environ.get("YRT_FLAT_SCAN", "")
 FORCE_LOOP_PATH = _FLAT_ENV not in ("1", "2")
 
 
-@partial(jax.jit, static_argnames=("any_hit", "flat"))
+@partial(jax.jit, static_argnames=("any_hit", "flat", "block_unroll"))
 def intersect_stream(
     stream: StreamScene,
     ro: jnp.ndarray,     # (N, 3)
@@ -753,6 +800,10 @@ def intersect_stream(
     tmax: jnp.ndarray,   # (N,)
     any_hit: bool = False,
     flat: bool | None = None,   # None -> module default (env opt-in)
+    block_unroll: tuple | None = None,  # static (block, unroll) override;
+    # None -> scene-adaptive effective_block_unroll. An explicit value is
+    # part of the jit cache key, so sweeps/A/Bs can interleave compiled
+    # configs without mutating module globals.
 ):
     """Nearest-hit (or any-hit) by scanning all clusters in DFS order.
 
@@ -770,7 +821,9 @@ def intersect_stream(
     # host-side choice; the per-instance loop path handles 10k-instance
     # scenes where a dense pair space would not fit)
     n_pairs = sum(stream.s_n_cl)
-    block, unroll = effective_block_unroll(stream.inst_wb_min.shape[0])
+    block, unroll = (block_unroll if block_unroll is not None
+                     else effective_block_unroll(
+                         stream.inst_wb_min.shape[0]))
     if flat is None:
         flat = not FORCE_LOOP_PATH
     flat = flat and len(stream.s_n_cl) <= 32 and 0 < n_pairs <= 512
@@ -918,24 +971,61 @@ def _intersect_block(
 
         return jax.lax.cond(jnp.any(m_inst), expand, lambda: st)
 
-    # phase 1: per-block instance shortlist. ONE dense vectorized slab pass
-    # over all instances' world bboxes (rays x instances), reduced to a
-    # per-instance any-ray survival vector, then compacted with nonzero.
-    # The walk loop is bounded by the ACTUAL survivor count — per-iteration
-    # control-flow overhead (~us on the TPU sequencer) is paid only for
-    # instances the block can possibly hit. nonzero preserves ascending
-    # order = scene-DFS order, so the parity test order is unchanged.
+    # phase 1: per-block instance shortlist — a per-instance any-ray
+    # survival vector, compacted with nonzero. The walk loop is bounded by
+    # the ACTUAL survivor count — per-iteration control-flow overhead (~us
+    # on the TPU sequencer) is paid only for instances the block can
+    # possibly hit. nonzero preserves ascending order = scene-DFS order,
+    # so the parity test order is unchanged.
     n_inst = stream.inst_wb_min.shape[0]
-    m_all = _bbox_hit(ox[:, None], oy[:, None], oz[:, None],
-                      iwx[:, None], iwy[:, None], iwz[:, None],
-                      tmin[:, None], tmax[:, None],
-                      (stream.inst_wb_min[None, :, 0],
-                       stream.inst_wb_min[None, :, 1],
-                       stream.inst_wb_min[None, :, 2]),
-                      (stream.inst_wb_max[None, :, 0],
-                       stream.inst_wb_max[None, :, 1],
-                       stream.inst_wb_max[None, :, 2]))  # (N, I)
-    surv = jnp.any(m_all, axis=0)
+
+    def inst_window_mask(wmin, wmax):
+        """Dense slab pass of the block vs a window of world bboxes."""
+        return _bbox_hit(ox[:, None], oy[:, None], oz[:, None],
+                         iwx[:, None], iwy[:, None], iwz[:, None],
+                         tmin[:, None], tmax[:, None],
+                         (wmin[None, :, 0], wmin[None, :, 1],
+                          wmin[None, :, 2]),
+                         (wmax[None, :, 0], wmax[None, :, 1],
+                          wmax[None, :, 2]))
+
+    if stream.grp_wb_min is not None and n_inst >= HIER_MIN_INST:
+        # hierarchical (r5): slab-test the ceil(I/GROUP) merged group
+        # bboxes first, then refine ONLY surviving groups with a dense
+        # (rays x GROUP) pass over that group's instance window. Because
+        # the f32 slab test is monotone under bbox enlargement (sub/mul
+        # round monotonically; NaN-drop only widens) a member-instance hit
+        # implies its group hits, so the refined survival vector is
+        # EXACTLY the flat (N, I) pass's — same candidates, same walk
+        # order, bit-identical results — at 1/GROUP the mask memory and
+        # slab work (the r4 cap that forced 8192-ray blocks at 10k
+        # instances no longer binds; PERF.md r5).
+        n_grp = stream.grp_wb_min.shape[0]
+        gsurv = jnp.any(inst_window_mask(stream.grp_wb_min,
+                                         stream.grp_wb_max), axis=0)
+        gwork = jnp.nonzero(gsurv, size=n_grp,
+                            fill_value=0)[0].astype(jnp.int32)
+        g_count = jnp.sum(gsurv.astype(jnp.int32))
+
+        def g_body(i, sv):
+            # window start clamped so the GROUP-wide slice stays in
+            # bounds; overlapping windows recompute the same pure
+            # per-instance test, so overwrites are idempotent
+            s0 = jnp.minimum(gwork[i] * GROUP, n_inst - GROUP)
+            wmin = jax.lax.dynamic_slice(stream.inst_wb_min, (s0, 0),
+                                         (GROUP, 3))
+            wmax = jax.lax.dynamic_slice(stream.inst_wb_max, (s0, 0),
+                                         (GROUP, 3))
+            s = jnp.any(inst_window_mask(wmin, wmax), axis=0)
+            return jax.lax.dynamic_update_slice(sv, s, (s0,))
+
+        surv = jax.lax.fori_loop(0, g_count, g_body,
+                                 jnp.zeros((n_inst,), bool))
+    else:
+        # flat: ONE dense vectorized slab pass over all instances' world
+        # bboxes (rays x instances)
+        surv = jnp.any(inst_window_mask(stream.inst_wb_min,
+                                        stream.inst_wb_max), axis=0)
     cand = jnp.nonzero(surv, size=n_inst, fill_value=0)[0].astype(jnp.int32)
     count = jnp.sum(surv.astype(jnp.int32))
 

@@ -9,4 +9,7 @@ from .mesh import (  # noqa: F401
     render_loss,
     train_step,
     train_step_sharded,
+    loss_and_grads_sharded,
+    combine_scene,
+    partition_scene,
 )

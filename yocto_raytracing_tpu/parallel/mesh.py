@@ -294,9 +294,11 @@ def train_step(scene, ray_ids, target_rgb, ambient, lr, *, width, height,
 @partial(jax.jit,
          static_argnames=("mesh", "treedef", "axis_name", "max_depth",
                           "max_stack"))
-def _train_step_shmap(diff, static, ray_ids, target_rgb, ambient, lr,
+def _loss_grads_shmap(diff, static, ray_ids, target_rgb, ambient,
                       stream, width, height, samples, *, mesh, treedef,
                       axis_name, max_depth, max_stack):
+    """Global-batch (loss, grads) under shard_map — the collective core
+    shared by the SGD step and external-optimizer loops."""
     ndev = mesh.devices.size
 
     def local(diff_, static_, stream_, target_, ambient_, w_, h_, s_, ids_):
@@ -321,10 +323,43 @@ def _train_step_shmap(diff, static, ray_ids, target_rgb, ambient, lr,
         in_specs=(rep, rep, rep, P(axis_name), rep, rep, rep, rep,
                   P(axis_name)),
         out_specs=(rep, rep), check_vma=False)
-    loss, grads = fn(diff, static, stream, target_rgb, ambient,
-                     width, height, samples, ray_ids)
+    return fn(diff, static, stream, target_rgb, ambient,
+              width, height, samples, ray_ids)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "treedef", "axis_name", "max_depth",
+                          "max_stack"))
+def _train_step_shmap(diff, static, ray_ids, target_rgb, ambient, lr,
+                      stream, width, height, samples, *, mesh, treedef,
+                      axis_name, max_depth, max_stack):
+    loss, grads = _loss_grads_shmap(
+        diff, static, ray_ids, target_rgb, ambient, stream, width, height,
+        samples, mesh=mesh, treedef=treedef, axis_name=axis_name,
+        max_depth=max_depth, max_stack=max_stack)
     new_diff = [d if g is None else d - lr * g for d, g in zip(diff, grads)]
     return new_diff, loss
+
+
+def loss_and_grads_sharded(scene, ray_ids, target_rgb, ambient, *, mesh,
+                           width, height, samples, max_depth, max_stack,
+                           trainable=None, stream=None,
+                           axis_name: str = RAY_AXIS):
+    """Sharded global-batch (loss, grads, partition) for EXTERNAL
+    optimizers (optax etc. — scripts/inverse_showcase.py drives Adam with
+    per-family step sizes through this): the same shard_map core as
+    ``train_step_sharded`` (one psum per gradient leaf, nothing else),
+    but the update rule stays with the caller. Returns
+    ``(loss, grads, (diff, static, treedef))`` — apply updates to
+    ``diff`` and rebuild with ``combine_scene``.
+    """
+    diff, static, treedef = partition_scene(scene, trainable)
+    loss, grads = _loss_grads_shmap(
+        diff, static, ray_ids, target_rgb, ambient, stream,
+        jnp.int32(width), jnp.int32(height), jnp.int32(samples),
+        mesh=mesh, treedef=treedef, axis_name=axis_name,
+        max_depth=max_depth, max_stack=max_stack)
+    return loss, grads, (diff, static, treedef)
 
 
 def train_step_sharded(scene, ray_ids, target_rgb, ambient, lr, *, mesh,

@@ -79,11 +79,12 @@ def tile_permutation(width: int, height: int, spp: int,
 @partial(jax.jit, inline=True,
          static_argnames=("spp", "max_depth", "max_stack",
                           "has_kd_textures", "has_ks_textures",
-                          "stochastic"))
+                          "stochastic", "block_unroll"))
 def _render_chunk(scene, ids, ambient, width, height, samples, spp,
                   max_depth, max_stack, stream=None,
                   has_kd_textures=True, has_ks_textures=True,
-                  stochastic=False, rng_key=None, light_sampler=None):
+                  stochastic=False, rng_key=None, light_sampler=None,
+                  block_unroll=None):
     """trace_rays + on-device per-pixel spp sum.
 
     Returns (chunk_pixels, 3) pixel sums instead of (chunk_rays, 3) per-ray
@@ -100,21 +101,22 @@ def _render_chunk(scene, ids, ambient, width, height, samples, spp,
                      has_kd_textures=has_kd_textures,
                      has_ks_textures=has_ks_textures,
                      stochastic=stochastic, rng_key=rng_key,
-                     light_sampler=light_sampler)
+                     light_sampler=light_sampler,
+                     block_unroll=block_unroll)
     return rgb.reshape(-1, spp, 3).sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("chunk_pixels", "n_chunks", "spp",
                                    "max_depth", "max_stack",
                                    "has_kd_textures", "has_ks_textures",
-                                   "ldr", "stochastic"))
+                                   "ldr", "stochastic", "block_unroll"))
 def _render_chunks_fused(scene, ambient, width, height, samples,
                          chunk_pixels, n_chunks, spp, max_depth, max_stack,
                          stream=None, has_kd_textures=True,
                          has_ks_textures=True, perm=None,
                          chunk_offset=0, ldr=False,
                          stochastic=False, rng_key=None,
-                         light_sampler=None):
+                         light_sampler=None, block_unroll=None):
     """Whole-frame render in ONE dispatch: ``lax.map`` over chunk starts,
     ray ids generated on device.
 
@@ -156,7 +158,7 @@ def _render_chunks_fused(scene, ambient, width, height, samples,
             max_depth=max_depth, max_stack=max_stack, stream=stream,
             has_kd_textures=has_kd_textures, has_ks_textures=has_ks_textures,
             stochastic=stochastic, rng_key=rng_key,
-            light_sampler=light_sampler)
+            light_sampler=light_sampler, block_unroll=block_unroll)
 
     sums = jax.lax.map(one_chunk, jax.lax.iota(jnp.int32, n_chunks))
     sums = sums.reshape(-1, 3)
@@ -173,7 +175,7 @@ def _render_chunks_fused(scene, ambient, width, height, samples,
 @partial(jax.jit, static_argnames=("max_depth", "max_stack",
                                    "differentiable", "has_kd_textures",
                                    "has_ks_textures", "stochastic",
-                                   "remat"))
+                                   "remat", "block_unroll"))
 def trace_rays(
     scene,
     ray_ids: jnp.ndarray,   # (N,) flat ray ids (pixel-major, spp-minor)
@@ -190,6 +192,8 @@ def trace_rays(
     stochastic: bool = False,       # jittered AA + thin-lens DOF
     rng_key=None,                   # u32 seed (required if stochastic)
     light_sampler=None,             # render/lights.py tables -> area lights
+    block_unroll=None,              # static (block, unroll) override for
+                                    # the stream intersector (sweeps/A/Bs)
     remat: bool = True,             # checkpoint the differentiable depth
                                     # step: with the batch-dead cond-skip
                                     # it is the measured winner (2.04 vs
@@ -231,7 +235,8 @@ def trace_rays(
             from ..ops import stream as stream_mod
 
             return stream_mod.intersect_stream(stream, ro_, rd_, tmin_,
-                                               tmax_, any_hit=any_hit)
+                                               tmax_, any_hit=any_hit,
+                                               block_unroll=block_unroll)
         return traverse.intersect_scene(scene, ro_, rd_, tmin_, tmax_,
                                         any_hit=any_hit,
                                         max_stack=max_stack)

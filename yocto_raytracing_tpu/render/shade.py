@@ -38,6 +38,12 @@ from . import texture as texture_mod
 RAY_EPS = np.float32(1e-4)
 FLT_MAX = np.float32(3.4028235e38)
 
+# r5 packed prim-row gather (see eval_hit); "legacy" restores the r4
+# four-gather path for in-process A/Bs (scripts/shade_bound.py)
+import os as _os  # noqa: E402
+
+_PACKED_PRIM_GATHER = _os.environ.get("YRT_SHADE_GATHER", "") != "legacy"
+
 
 _normalize = isect.safe_normalize
 
@@ -70,15 +76,36 @@ def eval_hit(scene, ro, rd, inst, prim):
     io = ipk[:, 9:12]
     lo, ld = isect.transform_ray_inverse(axes, io, ro, rd)
 
-    ppk = jnp.concatenate([scene.prim_v, scene.prim_type[:, None]],
-                          axis=1)[prim_s]                   # (N, 4)
-    pv = ppk[:, 0:3]
-    ptype = ppk[:, 3]
     vert = jnp.concatenate([scene.pos, scene.norm, scene.texcoord],
                            axis=1)                          # (V, 8)
-    a0 = vert[pv[:, 0]]
-    a1 = vert[pv[:, 1]]
-    a2 = vert[pv[:, 2]]
+    if _PACKED_PRIM_GATHER:
+        # r5 gather packing: all three vertices' attributes + ptype in
+        # ONE prim-indexed (P, 25) table, so the per-ray fetch is a
+        # single row gather instead of a (N, 4) prim gather + three
+        # (N, 8) vertex gathers (TPU gathers cost per ROW, not per byte
+        # — PERF.md shade bound). The table itself is built by three
+        # P-row gathers (P << N). The gathered VALUES are identical (a
+        # gather of a gather) and gradients flow to pos/norm/texcoord
+        # through both gather levels; the different producer graph lets
+        # XLA contract downstream fma chains differently (<= tonemap
+        # quantization end to end — tests/test_shade_gather.py).
+        # YRT_SHADE_GATHER=legacy selects the r4 path for A/Bs.
+        prim_tab = jnp.concatenate(
+            [vert[scene.prim_v[:, 0]], vert[scene.prim_v[:, 1]],
+             vert[scene.prim_v[:, 2]],
+             scene.prim_type[:, None].astype(jnp.float32)],
+            axis=1)                                         # (P, 25)
+        row = prim_tab[prim_s]                              # (N, 25)
+        a0, a1, a2 = row[:, 0:8], row[:, 8:16], row[:, 16:24]
+        ptype = row[:, 24]                                  # f32, exact
+    else:
+        ppk = jnp.concatenate([scene.prim_v, scene.prim_type[:, None]],
+                              axis=1)[prim_s]               # (N, 4)
+        pv = ppk[:, 0:3]
+        ptype = ppk[:, 3]
+        a0 = vert[pv[:, 0]]
+        a1 = vert[pv[:, 1]]
+        a2 = vert[pv[:, 2]]
     v0, n0, t0 = a0[:, 0:3], a0[:, 3:6], a0[:, 6:8]
     v1, n1, t1 = a1[:, 0:3], a1[:, 3:6], a1[:, 6:8]
     v2, n2, t2 = a2[:, 0:3], a2[:, 3:6], a2[:, 6:8]
