@@ -179,19 +179,20 @@ def test_flat2_hybrid_path_matches_loop_path(seed):
 
 
 def test_effective_block_unroll():
-    """Scene-adaptive block config (r5): block * n_inst <= MAX_BLOCK_ELEMS
-    is the culling-GRANULARITY cap (8192-ray blocks beat 32768 by 40% at
-    10k instances — a 4x screen tile shortlists ~4x the instances per
-    ray; PERF.md r5 A/B), while the hierarchical shortlist keeps the mask
-    MEMORY at (N, ceil(I/GROUP)): every config must fit that budget, the
+    """Scene-adaptive block config (r5): block * n_inst <=
+    GRAN_BLOCK_ELEMS is the culling-GRANULARITY cap (the 10k-instance
+    sweep peaks at 4096-ray blocks, +41% over 32768 — a k-times-larger
+    screen tile shortlists ~k times the instances per ray; PERF.md r5),
+    while the hierarchical shortlist keeps the mask MEMORY at
+    (N, ceil(I/GROUP)): every config must fit MAX_BLOCK_ELEMS, the
     halving may now go below the old 2048 floor, and absurd counts fail
     loudly (r4 advisor finding)."""
     blk = stream_mod.BLOCK_RAYS
     assert stream_mod.effective_block_unroll(1) == (blk, stream_mod.UNROLL)
     assert stream_mod.effective_block_unroll(5) == (blk, stream_mod.UNROLL)
-    # 10k instances: the measured optimum 8192-ray block, deeper unroll
+    # 10k instances: the measured optimum 4096-ray block, unroll 2
     b10k, u10k = stream_mod.effective_block_unroll(10004)
-    assert b10k == 8192 and u10k == 4
+    assert b10k == 4096 and u10k == stream_mod.CAPPED_UNROLL == 2
     # every config respects the hierarchical mask budget; the block keeps
     # shrinking (below the old 2048 floor) as instances grow
     blocks = []

@@ -743,20 +743,25 @@ BLOCK_RAYS = 32768  # rays per skip-granularity block (tile-matched; with
 #                     (scripts/sweep_stream.py): 32768:1 beats the old
 #                     4096:4 by ~3.5% on refl (65536 regresses); PERF.md.
 UNROLL = 1          # clusters tested per worklist-loop iteration
-# block * n_inst <= 2^27 started life in r4 as a MEMORY cap: the flat
+# block * n_inst started life in r4 as a MEMORY cap at 2^27: the flat
 # shortlist's (N, I) mask at 32768 x 10,004 was a 328 MB pred buffer
 # that crashed the TPU worker. The r5 hierarchical shortlist (GROUP-
 # merged bboxes + per-group refinement) cut the mask to (N, ceil(I/64)),
-# re-admitting 32768-ray blocks — and the interleaved A/B then showed
-# the SAME formula is the right CULLING-GRANULARITY cap: at 10k
-# instances an 8192-ray block (0.464 Mrays/s quarter-frame) beats 32768
-# (0.330) because a 4x-larger screen tile shortlists ~4x the instances
-# for every ray in it, and that extra dense work dwarfs the saved
-# sequencer regions (PERF.md r5). So the cap stays instance-driven; the
-# hierarchy's contribution is the +19% shortlist saving at the SAME
-# block size, plus removing the memory hazard (halving now goes below
-# the old 2048 floor, and the assert fails loudly — r4 advisor finding).
-MAX_BLOCK_ELEMS = 1 << 27
+# re-admitting 32768-ray blocks — and the interleaved sweep then showed
+# block * n_inst is really a CULLING-GRANULARITY dial: a k-times-larger
+# screen tile shortlists ~k times the instances for every ray in it, and
+# at 10k instances that extra dense work dwarfs the saved sequencer
+# regions. Sweep at 10k (PERF.md r5): 32768 -> 0.330, 16384 -> 0.389,
+# 8192 -> 0.509, **4096 -> 0.548** (unroll 2), 2048 -> 0.474 Mrays/s —
+# peak at block*I ~ 2^25.3, so the halving targets 2^26 (one halving
+# step above the peak product; the refl scene, 5 instances, stays
+# uncapped at 32768 where it measured fastest). Memory is a separate,
+# looser budget on the hierarchical mask width (2^27, asserted — huge
+# instance counts fail loudly instead of overflowing, r4 advisor
+# finding).
+MAX_BLOCK_ELEMS = 1 << 27    # memory budget on (N, shortlist_width)
+GRAN_BLOCK_ELEMS = 1 << 26   # culling-granularity target on N * I
+CAPPED_UNROLL = 2            # measured: 4096:2 > 4096:1 > 4096:4 at 10k
 
 
 def shortlist_width(n_inst: int) -> int:
@@ -768,14 +773,14 @@ def shortlist_width(n_inst: int) -> int:
 
 
 def effective_block_unroll(n_inst: int):
-    """Scene-adaptive (block_rays, unroll) — see MAX_BLOCK_ELEMS note."""
+    """Scene-adaptive (block_rays, unroll) — see the note above."""
     block = BLOCK_RAYS
-    while block > 256 and block * max(n_inst, 1) > MAX_BLOCK_ELEMS:
+    while block > 256 and block * max(n_inst, 1) > GRAN_BLOCK_ELEMS:
         block //= 2
     assert block * shortlist_width(n_inst) <= MAX_BLOCK_ELEMS, (
         f"{n_inst} instances: even a {block}-ray block exceeds the "
         f"shortlist mask budget (MAX_BLOCK_ELEMS)")
-    return block, (UNROLL if block == BLOCK_RAYS else 4)
+    return block, (UNROLL if block == BLOCK_RAYS else CAPPED_UNROLL)
 # The flat pair-worklist path (opt-in, YRT_FLAT_SCAN=1) was built to
 # eliminate the per-instance sequencer regions, but measured 25% SLOWER
 # than the loop path on the refl bench (2.37 vs 3.12 Mrays/s wall): the
