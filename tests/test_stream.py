@@ -289,3 +289,32 @@ def test_tile_permutation_shapes():
     assert tw_of(4096, 16) == 16     # 256-px tile -> 16x16 (r3 optimum)
     assert tw_of(8192, 64) == 16     # instance-capped small tiles
     assert tw_of(16, 16) == 1        # tw never exceeds tile_px
+
+
+def test_fused_dense_fold_experiment(monkeypatch):
+    """The opt-in fused dense test (YRT_DENSE_FOLD=fused — measured a
+    frame-level no-op on TPU and kept off, ops/stream.py module note):
+    its switch-free masked selects + single variadic winner reduce are
+    value-exact per-lane, but the different fusion shape lets XLA
+    contract fma chains differently, so the contract vs the production
+    loop path is the flat-path one: identical hit sets, bounded t ULPs,
+    identical winners where t agrees bitwise."""
+    dev, meta, ss = _build(testscenes.make_random_scene(seed=4))
+    ro, rd, tmin, tmax = _rays(44, 512)
+    a = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax)
+    monkeypatch.setattr(stream_mod, "_FUSED_DENSE", True)
+    stream_mod._intersect_block._clear_cache()
+    stream_mod.intersect_stream._clear_cache()
+    b = stream_mod.intersect_stream(ss, ro, rd, tmin, tmax)
+    monkeypatch.setattr(stream_mod, "_FUSED_DENSE", False)
+    stream_mod._intersect_block._clear_cache()
+    stream_mod.intersect_stream._clear_cache()
+    np.testing.assert_array_equal(np.asarray(a["hit"]),
+                                  np.asarray(b["hit"]))
+    ta, tb = np.asarray(a["t"]), np.asarray(b["t"])
+    ulp = np.abs(ta.view(np.int32) - tb.view(np.int32))
+    assert ulp.max() <= 64, f"t ULP diff {ulp.max()}"
+    exact = ta == tb
+    for k in ("inst", "prim"):
+        np.testing.assert_array_equal(np.asarray(a[k])[exact],
+                                      np.asarray(b[k])[exact], err_msg=k)

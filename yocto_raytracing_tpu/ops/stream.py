@@ -71,8 +71,23 @@ HIER_MIN_INST = 256  # below this the flat (N, I) shortlist is cheaper
 
 # fields kept as STATIC (hashable aux_data, not traced leaves): the flat
 # scan path unrolls the instance stage in Python and slices static cluster
-# windows, so these must be compile-time constants
-STATIC_FIELDS = ("s_cl_base", "s_n_cl")
+# windows, and the fused dense test specializes on which prim TYPES the
+# scene contains — so these must be compile-time constants
+STATIC_FIELDS = ("s_cl_base", "s_n_cl", "s_has_lines", "s_has_points")
+
+# r5 fused dense-test EXPERIMENT (see _dense_test), opt-in via
+# YRT_DENSE_FOLD=fused. Measured a frame-level NO-OP on the real chip
+# (interleaved A/B, scripts/ab_dense_fold.py: refl 1.29s vs 1.29s,
+# instance10000 quarter 28.34s vs 28.34s) — XLA:TPU already fuses the
+# production fold's reductions inside the in-frame loop nest, even
+# though a standalone fori context shows the multi-consumer structure
+# costing ~250 us/test (scripts/intersect_ladder.py; PERF.md r5).
+# Since the fused kernel also contracts fma chains differently (up to
+# ~64 ULP of t at grazing incidence, breaking the <= 1 ULP stream
+# oracle contract) it stays OFF by default: all cost, no benefit.
+import os as _os_env  # noqa: E402
+
+_FUSED_DENSE = _os_env.environ.get("YRT_DENSE_FOLD", "") == "fused"
 
 
 def _pytree(cls):
@@ -131,6 +146,11 @@ class StreamScene:
     # instance stage: tuples of ints, never traced
     s_cl_base: Any = ()   # (I,) tuple
     s_n_cl: Any = ()      # (I,) tuple
+    # STATIC prim-type presence: the fused dense test compiles line/
+    # point intersectors only when the scene contains them (True/True
+    # is the conservative default: all types computed, masked by ty)
+    s_has_lines: Any = True
+    s_has_points: Any = True
 
 
 def _dfs_leaf_items(start, count, isleaf, leaf_items, root):
@@ -314,6 +334,8 @@ def build_stream_scene(host, dev, meta) -> StreamScene:
         grp_wb_min=grp_wb_min, grp_wb_max=grp_wb_max,
         s_cl_base=tuple(int(x) for x in clb_l),
         s_n_cl=tuple(int(x) for x in ncl_l),
+        s_has_lines=bool((ptype == PRIM_LINE).any()),
+        s_has_points=bool((ptype == PRIM_POINT).any()),
     )
 
 
@@ -477,6 +499,59 @@ def _dense_test(stream, st, c, inst_id, lo3, ld3, active, tmin_b, lane):
         t = jnp.where(ty == PRIM_TRIANGLE, tt,
                       jnp.where(ty == PRIM_LINE, lt, pt))
         return h, t
+
+    if _FUSED_DENSE:
+        # OPT-IN experiment (YRT_DENSE_FOLD=fused; see the module note —
+        # measured a frame-level no-op on TPU and kept off). Two
+        # value-exact structural changes aimed at single-kernel fusion:
+        # 1. no lax.switch: per-type intersectors statically compiled
+        #    only for prim types the SCENE contains (s_has_lines/
+        #    s_has_points), combined with ty-masked selects — the mixed
+        #    branch's exact semantics.
+        # 2. the winner fold as ONE variadic lax.reduce over the lane
+        #    axis with a lexicographic (min t, then LAST lane, carrying
+        #    its gid) combiner — associative and commutative, so any
+        #    reduction order gives exactly the legacy (min + eq-mask +
+        #    max-lane + sum-select) result.
+        th, tt = _tri_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                             tbest_b, v0x, v0y, v0z, v1x, v1y, v1z,
+                             v2x, v2y, v2z)
+        h = jnp.where(ty == PRIM_TRIANGLE, th, False)
+        t = tt
+        if stream.s_has_lines:
+            lh, lt = _line_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                                  tbest_b, v0x, v0y, v0z, v1x, v1y,
+                                  v1z, r0, r1)
+            h = jnp.where(ty == PRIM_LINE, lh, h)
+            t = jnp.where(ty == PRIM_LINE, lt, t)
+        if stream.s_has_points:
+            ph, pt = _point_planes(lox, loy, loz, ldx, ldy, ldz, tmin_b,
+                                   tbest_b, v0x, v0y, v0z, r0)
+            h = jnp.where(ty == PRIM_POINT, ph, h)
+            t = jnp.where(ty == PRIM_POINT, pt, t)
+        hit = h & active[:, None]
+        t = jnp.where(hit, t, FLT_MAX)
+
+        lane_eff = jnp.where(hit, jnp.broadcast_to(lane, t.shape), -1)
+        gid_eff = jnp.where(hit, jnp.broadcast_to(gid[None], t.shape), -1)
+
+        def comb(a, b):
+            at, al, ag = a
+            bt, bl, bg = b
+            take_b = (bt < at) | ((bt == at) & (bl > al))
+            return (jnp.where(take_b, bt, at),
+                    jnp.where(take_b, bl, al),
+                    jnp.where(take_b, bg, ag))
+
+        t_min, k, prim_k = jax.lax.reduce(
+            (t, lane_eff, gid_eff),
+            (FLT_MAX, jnp.int32(-1), jnp.int32(-1)), comb, (1,))
+        accept = (k >= 0) & (t_min <= st["t"])
+        return dict(
+            t=jnp.where(accept, t_min, st["t"]),
+            hit_inst=jnp.where(accept, inst_id, st["hit_inst"]),
+            hit_prim=jnp.where(accept, prim_k, st["hit_prim"]),
+        )
 
     hit, t = jax.lax.switch(stream.ctype[c],
                             [tri_only, line_only, point_only, mixed],
