@@ -86,14 +86,23 @@ def emit(metric, mrays, baseline, **extra):
     print(json.dumps(rec), flush=True)
 
 
-def device_seconds(dscene, meta, stream, width, height, samples, max_depth,
-                   reps=3, n_super=4):
-    """Device-only frame seconds: the fused whole-frame dispatch issued as
-    ``n_super`` sequential super-chunks, each synced by a 1-element d2h
-    (4 bytes — sub-ms against multi-second compute), so the measurement
-    excludes the frame-sized device->host transfer that rides the
-    fluctuating tunnel. Mirrors scripts/sweep_stream.py's method inside
-    the bench so BENCH_r*.json carries both numbers (VERDICT r3 #8)."""
+def make_frame_fn(dscene, meta, stream, width, height, samples,
+                  max_depth=4, chunk=1 << 14, n_super=4,
+                  block_unroll=None, has_kd_textures=None,
+                  has_ks_textures=None):
+    """One whole-frame callable: the fused dispatch issued as ``n_super``
+    sequential super-chunks, synced by a 1-element d2h pull (4 bytes —
+    sub-ms against multi-second compute), so timing it measures device
+    work and excludes the frame-sized d2h that rides the fluctuating
+    tunnel. The SHARED frame-builder for every measurement script
+    (sweeps, A/Bs, ladders, profiler trace) so the barrier/chunking
+    discipline lives in one place.
+
+    ``block_unroll``: static (block, unroll) override, forwarded to the
+    intersector AND used for the tile permutation (None -> the
+    scene-adaptive config). ``has_*_textures``: override the scene's
+    static texture facts (shade-ladder variants); None -> meta's.
+    """
     import jax.numpy as jnp
 
     from yocto_raytracing_tpu.render import renderer
@@ -101,14 +110,17 @@ def device_seconds(dscene, meta, stream, width, height, samples, max_depth,
 
     spp = samples * samples
     npix = width * height
-    chunk = 1 << 14
     n_chunks = -(-npix // chunk)
-    block = stream_mod.effective_block_unroll(
-        stream.inst_wb_min.shape[0])[0]
+    block = (block_unroll or stream_mod.effective_block_unroll(
+        stream.inst_wb_min.shape[0]))[0]
     _, perm_dev = renderer._tile_perm_cached(width, height, spp, block)
     amb = jnp.asarray([0.1] * 3, jnp.float32)
     per = -(-n_chunks // n_super)
     w_t, h_t, s_t = jnp.int32(width), jnp.int32(height), jnp.int32(samples)
+    kd = (meta.has_kd_textures if has_kd_textures is None
+          else has_kd_textures)
+    ks = (meta.has_ks_textures if has_ks_textures is None
+          else has_ks_textures)
 
     def frame():
         for si in range(0, n_chunks, per):
@@ -116,11 +128,21 @@ def device_seconds(dscene, meta, stream, width, height, samples, max_depth,
                 dscene, amb, w_t, h_t, s_t, chunk_pixels=chunk,
                 n_chunks=min(per, n_chunks - si), spp=spp,
                 max_depth=max_depth, max_stack=meta.max_stack,
-                stream=stream, has_kd_textures=meta.has_kd_textures,
-                has_ks_textures=meta.has_ks_textures, perm=perm_dev,
-                chunk_offset=jnp.int32(si), ldr=True)
-            assert int(s[0, 0]) >= 0   # 4-byte d2h: completion barrier
+                stream=stream, has_kd_textures=kd,
+                has_ks_textures=ks, perm=perm_dev,
+                chunk_offset=jnp.int32(si), ldr=True,
+                block_unroll=block_unroll)
+        assert int(s[0, 0]) >= 0   # 4-byte d2h: completion barrier
 
+    return frame
+
+
+def device_seconds(dscene, meta, stream, width, height, samples, max_depth,
+                   reps=3, n_super=4):
+    """Device-only frame seconds via ``make_frame_fn`` (VERDICT r3 #8:
+    BENCH_r*.json carries device numbers beside wall)."""
+    frame = make_frame_fn(dscene, meta, stream, width, height, samples,
+                          max_depth=max_depth, n_super=n_super)
     frame()  # compile (shares the render_image executable cache)
     return best_of(frame, reps)
 

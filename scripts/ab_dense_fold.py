@@ -46,28 +46,11 @@ def build(path):
 
 
 def frame_fn(dscene, meta, ss, width, height, samples, bu_spell):
-    spp = samples * samples
-    npix = width * height
-    n_chunks = -(-npix // CHUNK)
-    amb = jnp.asarray([0.1] * 3, jnp.float32)
-    block = (bu_spell or stream_mod.effective_block_unroll(
-        ss.inst_wb_min.shape[0]))[0]
-    _, perm = renderer._tile_perm_cached(width, height, spp, block)
+    import bench
 
-    def frame():
-        per = -(-n_chunks // 4)
-        for si in range(0, n_chunks, per):
-            s = renderer._render_chunks_fused(
-                dscene, amb, jnp.int32(width), jnp.int32(height),
-                jnp.int32(samples), chunk_pixels=CHUNK,
-                n_chunks=min(per, n_chunks - si), spp=spp, max_depth=4,
-                max_stack=meta.max_stack, stream=ss,
-                has_kd_textures=meta.has_kd_textures,
-                has_ks_textures=meta.has_ks_textures, perm=perm,
-                chunk_offset=jnp.int32(si), ldr=True,
-                block_unroll=bu_spell)
-        assert int(s[0, 0]) >= 0
-    return frame
+    return bench.make_frame_fn(dscene, meta, ss, width, height, samples,
+                               max_depth=4, chunk=CHUNK,
+                               block_unroll=bu_spell)
 
 
 def main():

@@ -66,26 +66,13 @@ def main():
             cfgs.append((a, ss if kind == "hier" else ss_flat,
                          int(blk), int(unr)))
 
+    import bench
+
     frames = {}
     for name, stream, block, unroll in cfgs:
-        perm = jnp.asarray(
-            renderer.tile_permutation(width, height, spp, block))
-
-        def frame(stream=stream, perm=perm, block=block, unroll=unroll):
-            per = -(-n_chunks // 4)
-            for si in range(0, n_chunks, per):
-                s = renderer._render_chunks_fused(
-                    dscene, amb, jnp.int32(width), jnp.int32(height),
-                    jnp.int32(SAMPLES), chunk_pixels=CHUNK,
-                    n_chunks=min(per, n_chunks - si), spp=spp,
-                    max_depth=4, max_stack=meta.max_stack, stream=stream,
-                    has_kd_textures=meta.has_kd_textures,
-                    has_ks_textures=meta.has_ks_textures, perm=perm,
-                    chunk_offset=jnp.int32(si), ldr=True,
-                    block_unroll=(block, unroll))
-            assert int(s[0, 0]) >= 0  # 4-byte pull: completion barrier
-
-        frames[name] = frame
+        frames[name] = bench.make_frame_fn(
+            dscene, meta, stream, width, height, SAMPLES,
+            max_depth=4, chunk=CHUNK, block_unroll=(block, unroll))
 
     # compile all (separate executables per (treedef, block) — kept hot;
     # do NOT clear caches between rounds)

@@ -105,10 +105,12 @@ def main():
         m_inst = bbox_hit(ro[s], inv[s], tmin[s], tmax[s],
                           ss.inst_wb_min, ss.inst_wb_max)   # (N, I)
         surv_i = np.flatnonzero(m_inst.any(axis=0))
-        if hier:
-            m_grp = bbox_hit(ro[s], inv[s], tmin[s], tmax[s],
-                             ss.grp_wb_min, ss.grp_wb_max)
-            grp_surv_tot += int(m_grp.any(axis=0).sum())
+        # group stats are counted for flat scenes too, so the
+        # hier-vs-flat shortlist comparison (which informs
+        # HIER_MIN_INST) includes the refinement term either way
+        m_grp = bbox_hit(ro[s], inv[s], tmin[s], tmax[s],
+                         ss.grp_wb_min, ss.grp_wb_max)
+        grp_surv_tot += int(m_grp.any(axis=0).sum())
         pairs = 0
         tested = 0
         for ii in surv_i:

@@ -43,26 +43,10 @@ def main(outdir="/tmp/yrt_trace"):
     cam = host.cameras[0]
     width = renderer.image_width(cam.aspect, RES)
     height = RES
-    spp = SAMPLES * SAMPLES
-    npix = width * height
-    n_chunks = -(-npix // CHUNK)
-    amb = jnp.asarray([0.1] * 3, jnp.float32)
-    block = stream_mod.effective_block_unroll(
-        stream.inst_wb_min.shape[0])[0]
-    _, perm = renderer._tile_perm_cached(width, height, spp, block)
+    import bench
 
-    def frame():
-        per = -(-n_chunks // 4)
-        for si in range(0, n_chunks, per):
-            s = renderer._render_chunks_fused(
-                dscene, amb, jnp.int32(width), jnp.int32(height),
-                jnp.int32(SAMPLES), chunk_pixels=CHUNK,
-                n_chunks=min(per, n_chunks - si), spp=spp, max_depth=4,
-                max_stack=meta.max_stack, stream=stream,
-                has_kd_textures=meta.has_kd_textures,
-                has_ks_textures=meta.has_ks_textures, perm=perm,
-                chunk_offset=jnp.int32(si), ldr=True)
-        assert int(s[0, 0]) >= 0     # completion barrier
+    frame = bench.make_frame_fn(dscene, meta, stream, width, height,
+                                SAMPLES, max_depth=4, chunk=CHUNK)
 
     frame()  # compile outside the trace
     t0 = time.perf_counter()
@@ -70,11 +54,11 @@ def main(outdir="/tmp/yrt_trace"):
         frame()
     wall = time.perf_counter() - t0
     print(f"traced frame wall: {wall:.2f}s -> {outdir}")
-    files = sorted(glob.glob(os.path.join(outdir, "**", "*"),
+    files = sorted(glob.glob(_os.path.join(outdir, "**", "*"),
                              recursive=True))
     for f in files:
-        if os.path.isfile(f):
-            print(f"  {os.path.getsize(f):>12,}  {f}")
+        if _os.path.isfile(f):
+            print(f"  {_os.path.getsize(f):>12,}  {f}")
 
     # summarize device op time from the perfetto trace (self-contained
     # JSON — no tensorboard/xprof needed in this image)
@@ -82,8 +66,6 @@ def main(outdir="/tmp/yrt_trace"):
     if tjs:
         summarize_perfetto(tjs[-1])
 
-
-import os  # noqa: E402
 
 
 def summarize_perfetto(path: str, top=30):
@@ -102,6 +84,13 @@ def summarize_perfetto(path: str, top=30):
                 and re.search(r"TPU|tpu",
                               str(ev.get("args", {}).get("name", "")))):
             dev_pids.add(ev["pid"])
+    if not dev_pids:
+        names = sorted({str(ev.get("args", {}).get("name", ""))
+                        for ev in events
+                        if ev.get("ph") == "M"
+                        and ev.get("name") == "process_name"})
+        print(f"(no TPU device track in trace; process tracks: {names})")
+        return
     totals = {}
     t_lo, t_hi = float("inf"), 0.0
     for ev in events:

@@ -104,21 +104,13 @@ def main():
     bu = stream_mod.effective_block_unroll(stream.inst_wb_min.shape[0])
     _, perm = renderer._tile_perm_cached(width, height, spp, bu[0])
 
+    import bench
+
     def frame_fn(scene, depth, tex, bu_spell):
-        def frame():
-            per = -(-n_chunks // 4)
-            for si in range(0, n_chunks, per):
-                s = renderer._render_chunks_fused(
-                    scene, amb, jnp.int32(width), jnp.int32(height),
-                    jnp.int32(SAMPLES), chunk_pixels=CHUNK,
-                    n_chunks=min(per, n_chunks - si), spp=spp,
-                    max_depth=depth, max_stack=meta.max_stack,
-                    stream=stream, has_kd_textures=tex,
-                    has_ks_textures=tex, perm=perm,
-                    chunk_offset=jnp.int32(si), ldr=True,
-                    block_unroll=bu_spell)
-            assert int(s[0, 0]) >= 0
-        return frame
+        return bench.make_frame_fn(
+            scene, meta, stream, width, height, SAMPLES, max_depth=depth,
+            chunk=CHUNK, block_unroll=bu_spell, has_kd_textures=tex,
+            has_ks_textures=tex)
 
     def clear_inner():
         # monkeypatched variants must NOT inline a stale cached

@@ -52,8 +52,11 @@ def main():
     for cfg in cfgs:
         parts = cfg.split(":")
         br = int(parts[0])
-        un = int(parts[1]) if len(parts) > 1 else 1
-        tiled = len(parts) < 3 or parts[2] != "scan"
+        # UNROLL defaults to 1; ':scan' may appear with or without it
+        # (e.g. '2048', '2048:4', '2048:scan', '2048:4:scan')
+        un = (int(parts[1])
+              if len(parts) > 1 and parts[1] != "scan" else 1)
+        tiled = "scan" not in parts[1:]
         stream_mod.BLOCK_RAYS = br
         stream_mod.UNROLL = un
         clear_caches()

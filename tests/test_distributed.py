@@ -99,10 +99,13 @@ def test_four_process_distributed_run():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # outer timeout > the launcher's internal 1200 s worker timeout, so
+    # a hung worker is reported by the launcher (with per-worker output)
+    # instead of a bare outer TimeoutExpired
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts",
                                       "run_distributed.py")],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=1500,
         env={k: v for k, v in os.environ.items()
              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
     assert r.returncode == 0, r.stdout + r.stderr

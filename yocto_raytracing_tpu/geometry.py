@@ -95,7 +95,7 @@ def edge_map(faces: np.ndarray):
             else:
                 raws += [(row[0], row[1]), (row[1], row[2]),
                          (row[2], row[3]), (row[3], row[0])]
-        raw = np.asarray(raws, np.int32)
+        raw = np.asarray(raws, np.int32).reshape(-1, 2)  # (0, 2) if empty
     canon = np.stack([raw.min(axis=1), raw.max(axis=1)], axis=1)
     _, first, inverse = np.unique(canon, axis=0, return_index=True,
                                   return_inverse=True)
