@@ -74,6 +74,38 @@ def measure_d2h(mb=1):
     return (mb << 20) / dt / 1e6
 
 
+def device_speed_index():
+    """A fixed synthetic workload's rate, in arbitrary units — the
+    chip's effective speed swings ~1.9x BY HOUR (PERF.md r5), so every
+    BENCH record carries this index to let round-over-round comparisons
+    normalize out the hour. The workload is a 512-step sequential chain
+    of (2048, 128) fused multiply-add/min ops (dense-test-shaped VPU
+    work, in-jit repetition to clear the ~30 ms tunnel RPC floor);
+    higher = faster hour."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        def body(i, x):
+            y = x * jnp.float32(1.0000001) + jnp.float32(1e-7)
+            return jnp.minimum(y * y + x, jnp.float32(1e9))
+
+        return jax.lax.fori_loop(0, 512, body, x)
+
+    x = jnp.ones((2048, 128), jnp.float32)
+    float(chain(x)[0, 0])  # compile + warm
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(chain(x)[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return round(1.0 / best, 2)
+
+
+SPEED_IDX = None  # set by main(); attached to every record
+
+
 def emit(metric, mrays, baseline, **extra):
     rec = {
         "metric": metric,
@@ -81,6 +113,8 @@ def emit(metric, mrays, baseline, **extra):
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 3) if baseline else None,
     }
+    if SPEED_IDX is not None:
+        rec["speed_idx"] = SPEED_IDX
     rec.update({k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in extra.items()})
     print(json.dumps(rec), flush=True)
@@ -174,6 +208,9 @@ def main():
     from yocto_raytracing_tpu.render import renderer
 
     baselines = load_baselines()
+
+    global SPEED_IDX
+    SPEED_IDX = device_speed_index()
 
     # ---- 1. refl fwd+bwd (train_step on one bench-sized ray batch) ----
     from yocto_raytracing_tpu.ops import stream as stream_lib
