@@ -239,3 +239,28 @@ def test_train_step_sharded_matches_train_step(sharded_train_inputs):
                     jax.tree_util.tree_leaves(s2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_hierarchical_shortlist_bit_identical():
+    """r5: the hierarchical instance shortlist (>= HIER_MIN_INST
+    instances, dynamic group windows + per-group refinement) under ray
+    sharding — the sharded stream render must stay bit-identical to the
+    single-device one (determinism discipline), proving the dynamic-
+    slice shortlist compiles and executes correctly inside shard_map."""
+    from yocto_raytracing_tpu.ops import stream as stream_mod
+
+    host = testscenes.make_random_scene(seed=21, n_shapes=2, n_tris=10,
+                                        n_lines=0, n_points=2,
+                                        n_instances=300)
+    dev, meta = scene_lib.build_device_scene(host)
+    stream = stream_mod.build_stream_scene(host, dev, meta)
+    assert stream.inst_wb_min.shape[0] >= stream_mod.HIER_MIN_INST
+    stream = jax.tree_util.tree_map(jnp.asarray, stream)
+    scene = scene_lib.to_jax(dev)
+    w = h = 16
+    single = renderer_mod.render_image(scene, meta, w, h, 1, max_depth=2,
+                                       stream=stream)
+    mesh = parallel.make_ray_mesh()
+    sharded = parallel.render_image_sharded(
+        scene, meta, mesh, w, h, 1, max_depth=2, stream=stream)
+    np.testing.assert_array_equal(single, sharded)
