@@ -100,7 +100,27 @@ def device_speed_index():
         t0 = time.perf_counter()
         float(chain(x)[0, 0])
         best = min(best, time.perf_counter() - t0)
-    return round(1.0 / best, 2)
+    vpu_idx = round(1.0 / best, 2)
+
+    # HBM-shaped companion: 8 sequential full passes over a 64 MB
+    # buffer. The first fast/slow-hour observation showed the VPU index
+    # NOT tracking the render swing, so the varying shared resource is
+    # likely bandwidth/sequencer — record both probes.
+    @jax.jit
+    def sweep(y):
+        def body(i, y):
+            return y * jnp.float32(0.9999999) + jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, 8, body, y)
+
+    y = jnp.ones((1 << 24,), jnp.float32)  # 64 MB
+    float(sweep(y)[0])
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(sweep(y)[0])
+        best = min(best, time.perf_counter() - t0)
+    hbm_idx = round(1.0 / best, 2)
+    return vpu_idx, hbm_idx
 
 
 SPEED_IDX = None  # set by main(); attached to every record
@@ -114,7 +134,7 @@ def emit(metric, mrays, baseline, **extra):
         "vs_baseline": round(mrays / baseline, 3) if baseline else None,
     }
     if SPEED_IDX is not None:
-        rec["speed_idx"] = SPEED_IDX
+        rec["speed_idx"], rec["hbm_idx"] = SPEED_IDX
     rec.update({k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in extra.items()})
     print(json.dumps(rec), flush=True)
