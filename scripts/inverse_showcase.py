@@ -47,7 +47,13 @@ FAMILY_LR = {"mat_kd": 2e-2, "mat_ks": 2e-2, "mat_kr": 2e-2,
 MAX_DEPTH = 4
 
 
-def main(steps=200, res=256, samples=2, seed=0):
+def main(steps=200, res=256, samples=2, seed=0, multi=False):
+    """``multi=True``: multi-illumination capture — fit TWO targets of
+    the same scene rendered under different ambient levels (0.02 and
+    0.3) jointly. The single-target problem leaves kd/ks vs ke
+    identifiable only through the weak amb*kd term (the near-gauge
+    direction, GRADIENTS.md); a second illumination condition pins the
+    ambient-only response directly and removes the gauge."""
     host = scene_lib.load_scene(SCENE)
     dscene, meta = scene_lib.build_device_scene(host)
     stream = stream_mod.build_stream_scene(host, dscene, meta)
@@ -68,12 +74,17 @@ def main(steps=200, res=256, samples=2, seed=0):
         (perm_np.astype(np.int64)[:, None] * spp
          + np.arange(spp)[None, :]).reshape(-1).astype(np.int32))
 
-    # target: the TRUE scene's per-ray radiance (forward-only render)
-    target = renderer.trace_rays(
-        dscene, ids, amb, width=jnp.int32(width), height=jnp.int32(height),
-        samples=jnp.int32(samples), max_depth=MAX_DEPTH,
-        max_stack=meta.max_stack, stream=stream)
-    target = jax.lax.stop_gradient(target)
+    # target(s): the TRUE scene's per-ray radiance (forward-only render)
+    ambs = ([jnp.asarray([0.02] * 3, jnp.float32),
+             jnp.asarray([0.3] * 3, jnp.float32)] if multi else [amb])
+
+    def render_target(a):
+        return jax.lax.stop_gradient(renderer.trace_rays(
+            dscene, ids, a, width=jnp.int32(width),
+            height=jnp.int32(height), samples=jnp.int32(samples),
+            max_depth=MAX_DEPTH, max_stack=meta.max_stack, stream=stream))
+
+    targets = [render_target(a) for a in ambs]
 
     # perturb: independent multiplicative factors per entry
     rng = np.random.default_rng(seed)
@@ -96,15 +107,24 @@ def main(steps=200, res=256, samples=2, seed=0):
     opt_state = opt.init(diff)
 
     # every big array rides as an ARGUMENT (closure arrays would bake
-    # into the executable as constants); the one jitted step = fwd render
-    # + MSE + reverse-mode grads (psum over the mesh) + per-family Adam
+    # into the executable as constants); the one jitted step = fwd
+    # render(s) + MSE + reverse-mode grads (psum over the mesh) +
+    # per-family Adam. Under ``multi`` the loss/grads sum over the
+    # illumination conditions.
     @jax.jit
-    def adam_step(diff, static_, stream_, opt_state, ids_, target_):
-        loss, grads = mesh_mod._loss_grads_shmap(
-            diff, static_, ids_, target_, amb, stream_, jnp.int32(width),
-            jnp.int32(height), jnp.int32(samples), mesh=mesh,
-            treedef=treedef, axis_name=mesh_mod.RAY_AXIS,
-            max_depth=MAX_DEPTH, max_stack=meta.max_stack)
+    def adam_step(diff, static_, stream_, opt_state, ids_, targets_):
+        loss = jnp.float32(0.0)
+        grads = None
+        for a, t in zip(ambs, targets_):
+            l_, g_ = mesh_mod._loss_grads_shmap(
+                diff, static_, ids_, t, a, stream_, jnp.int32(width),
+                jnp.int32(height), jnp.int32(samples), mesh=mesh,
+                treedef=treedef, axis_name=mesh_mod.RAY_AXIS,
+                max_depth=MAX_DEPTH, max_stack=meta.max_stack)
+            loss = loss + l_
+            grads = (g_ if grads is None else
+                     [x if y is None else x + y
+                      for x, y in zip(grads, g_)])
         updates, opt_state = opt.update(grads, opt_state, diff)
         new_diff = [
             d if u is None else jnp.maximum(d + lr * u, 0.0)  # stay physical
@@ -116,7 +136,7 @@ def main(steps=200, res=256, samples=2, seed=0):
     t0 = time.perf_counter()
     for s in range(steps):
         diff, opt_state, loss = adam_step(diff, static, stream,
-                                          opt_state, ids, target)
+                                          opt_state, ids, tuple(targets))
         if s % 10 == 0 or s == steps - 1:
             losses.append((s, float(loss)))
             print(f"step {s:4d}  loss {float(loss):.3e}", flush=True)
@@ -156,4 +176,6 @@ if __name__ == "__main__":
         kw["steps"] = int(_sys.argv[_sys.argv.index("--steps") + 1])
     if "--res" in _sys.argv:
         kw["res"] = int(_sys.argv[_sys.argv.index("--res") + 1])
+    if "--multi" in _sys.argv:
+        kw["multi"] = True
     main(**kw)
