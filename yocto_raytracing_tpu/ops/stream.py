@@ -811,12 +811,16 @@ def _intersect_block_flat2(
     )
 
 
-BLOCK_RAYS = 32768  # rays per skip-granularity block (tile-matched; with
-#                     tile-ordered pixels a block is a compact screen tile
-#                     and larger blocks amortize region overhead. r4
-#                     re-sweep with the fixed completion barrier
-#                     (scripts/sweep_stream.py): 32768:1 beats the old
-#                     4096:4 by ~3.5% on refl (65536 regresses); PERF.md.
+BLOCK_RAYS = 8192   # rays per skip-granularity block (tile-matched; with
+#                     tile-ordered pixels a block is a compact screen
+#                     tile). r5 re-sweep WITH unroll as a free axis: refl
+#                     peaks at 8192:1 = 3.98 Mrays/s vs 32768:1 = 3.34
+#                     (2048 -> 3.25, 4096 -> 3.84, 16384 -> 3.45; 8192:2
+#                     ties 8192:1). The r4 sweep that chose 32768 only
+#                     ever paired small blocks with unroll 4, whose
+#                     padding waste masked the small-block win — the same
+#                     culling-granularity dial the instance sweep exposed,
+#                     here at the CLUSTER level. PERF.md r5.
 UNROLL = 1          # clusters tested per worklist-loop iteration
 # block * n_inst started life in r4 as a MEMORY cap at 2^27: the flat
 # shortlist's (N, I) mask at 32768 x 10,004 was a 328 MB pred buffer
